@@ -1,0 +1,194 @@
+"""Lucene-semantics English analysis chain, reimplemented in pure Python.
+
+Pipeline parity target (reference `DefaultEnglishAnalyzer.java:51-74`):
+
+    StandardTokenizer (UAX#29 word break, maxTokenLength=255)
+      → EnglishPossessiveFilter   (strip trailing 's / 'S, all apostrophe forms)
+      → LowerCaseFilter
+      → StopFilter                (Lucene English stop set, 33 words)
+      → PorterStemFilter          (default; "krovetz"/"none" variants exist in
+                                   the reference — we support "porter"/"none")
+
+`AnalyzerUtils.analyze` (reference `AnalyzerUtils.java:31-55`) additionally
+drops empty tokens; `analyze()` here is its equivalent and is used for both
+documents and queries.
+
+Tokenizer: a practical UAX#29 subset adequate for transcript text —
+- word chars: Unicode ``\\w`` (letters, digits, underscore per ExtendNumLet);
+- a single MidLetter (``:`` ``·``) joins letter–letter;
+- a single MidNum (``,`` ``;``) joins digit–digit;
+- a single MidNumLet (``.`` ``'`` ``’``) joins letter–letter or digit–digit;
+- CJK ideographs emit one token per character (Lucene <IDEOGRAPHIC>);
+- tokens longer than 255 chars are split (StandardTokenizer maxTokenLength).
+
+Golden-token fixtures ported from the reference
+`EnglishStemmingAnalyzerTest.java:28-40` live in tests/test_analyzer.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+from .porter import porter_stem
+
+# Lucene's EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words) — referenced by
+# DefaultEnglishAnalyzer.newDefaultInstance (DefaultEnglishAnalyzer.java:87-89).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255
+
+_APOSTROPHES = "'’＇"
+_MID_LETTER = ":·״"
+_MID_NUM = ",;"
+_MID_NUM_LET = ".'’＇․﹒．"
+_ALL_MIDS = _MID_LETTER + _MID_NUM + _MID_NUM_LET
+
+# Candidate token span: word chars optionally joined by single mid chars.
+_CANDIDATE = re.compile(r"\w+(?:[%s]\w+)*" % re.escape(_ALL_MIDS), re.UNICODE)
+_SIMPLE = re.compile(r"^\w+$", re.UNICODE)
+
+_CJK = (
+    "⺀-⻿　-〿㐀-䶿一-鿿"
+    "豈-﫿぀-ヿ"  # incl. Hiragana/Katakana-ish single emits
+)
+_CJK_RE = re.compile("[%s]" % _CJK)
+
+
+def _split_candidate(span: str) -> Iterable[str]:
+    """Validate mid-characters inside a candidate span per UAX#29 classes;
+    split the span wherever a mid char joins incompatible classes."""
+    parts: list[str] = []
+    cur: list[str] = []
+    segs = re.split("([%s])" % re.escape(_ALL_MIDS), span)
+    # segs alternates word-chunk, mid, word-chunk, ...
+    i = 0
+    while i < len(segs):
+        chunk = segs[i]
+        if chunk:
+            cur.append(chunk)
+        if i + 2 < len(segs):
+            mid, nxt = segs[i + 1], segs[i + 2]
+            prev_c, next_c = chunk[-1] if chunk else "", nxt[0] if nxt else ""
+            ok = False
+            if prev_c and next_c:
+                p_alpha, n_alpha = prev_c.isalpha(), next_c.isalpha()
+                p_dig, n_dig = prev_c.isdigit(), next_c.isdigit()
+                if mid in _MID_NUM_LET and ((p_alpha and n_alpha) or (p_dig and n_dig)):
+                    ok = True
+                elif mid in _MID_LETTER and p_alpha and n_alpha:
+                    ok = True
+                elif mid in _MID_NUM and p_dig and n_dig:
+                    ok = True
+            if ok:
+                cur.append(mid)
+            else:
+                if cur:
+                    parts.append("".join(cur))
+                    cur = []
+        i += 2
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def tokenize(text: str) -> list[str]:
+    """UAX#29-subset word tokenization (Lucene StandardTokenizer parity on
+    the supported character classes)."""
+    out: list[str] = []
+    for m in _CANDIDATE.finditer(text):
+        span = m.group(0)
+        if _SIMPLE.match(span):
+            pieces: Iterable[str] = (span,)
+        else:
+            pieces = _split_candidate(span)
+        for piece in pieces:
+            # CJK ideographs: one token per char, split out of the piece.
+            if _CJK_RE.search(piece):
+                buf: list[str] = []
+                for ch in piece:
+                    if _CJK_RE.match(ch):
+                        if buf:
+                            out.append("".join(buf))
+                            buf = []
+                        out.append(ch)
+                    else:
+                        buf.append(ch)
+                if buf:
+                    out.append("".join(buf))
+            elif len(piece) > MAX_TOKEN_LENGTH:
+                out.extend(
+                    piece[i : i + MAX_TOKEN_LENGTH]
+                    for i in range(0, len(piece), MAX_TOKEN_LENGTH)
+                )
+            else:
+                out.append(piece)
+    return out
+
+
+def strip_possessive(token: str) -> str:
+    """EnglishPossessiveFilter: drop trailing <apostrophe>[sS]."""
+    if len(token) >= 2 and token[-1] in "sS" and token[-2] in _APOSTROPHES:
+        return token[:-2]
+    return token
+
+
+class Analyzer:
+    """Reusable analyzer with a per-instance stem memo (Zipfian vocabularies
+    make the cache hit rate very high; build one per actor, not per batch)."""
+
+    def __init__(
+        self,
+        stemmer: str | None = "porter",
+        stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
+    ):
+        if stemmer not in ("porter", None, "none"):
+            raise ValueError(f"unsupported stemmer: {stemmer!r} (porter|none)")
+        self.stemmer = stemmer if stemmer != "none" else None
+        self.stopwords = stopwords if stopwords is not None else frozenset()
+        self._memo: dict[str, str] = {}
+
+    def config_fingerprint(self) -> str:
+        return f"std+poss+lower+stop{len(self.stopwords)}+{self.stemmer or 'nostem'}"
+
+    def analyze(self, text: str) -> list[str]:
+        memo = self._memo
+        stop = self.stopwords
+        do_stem = self.stemmer == "porter"
+        out: list[str] = []
+        for raw in tokenize(text):
+            tok = strip_possessive(raw).lower()
+            if not tok or tok in stop:
+                continue
+            if do_stem:
+                stemmed = memo.get(tok)
+                if stemmed is None:
+                    stemmed = porter_stem(tok)
+                    if len(memo) < 1_000_000:  # bound actor memory
+                        memo[tok] = stemmed
+                tok = stemmed
+                if not tok:
+                    continue
+            out.append(tok)
+        return out
+
+
+DEFAULT_ANALYZER_CONFIG = {"stemmer": "porter", "stopwords": "lucene-english"}
+
+
+def make_analyzer(config: dict | None = None) -> Analyzer:
+    """Build an Analyzer from a plain-dict config (picklable across tasks)."""
+    config = dict(DEFAULT_ANALYZER_CONFIG, **(config or {}))
+    stop = config["stopwords"]
+    if stop == "lucene-english":
+        stopset = ENGLISH_STOP_WORDS
+    elif stop in (None, "none"):
+        stopset = frozenset()
+    elif isinstance(stop, (set, frozenset, list, tuple)):
+        stopset = frozenset(stop)
+    else:
+        raise ValueError(f"bad stopwords config: {stop!r}")
+    return Analyzer(stemmer=config["stemmer"], stopwords=stopset)
