@@ -1,0 +1,15 @@
+from .build import IndexConfig, TokenizeDocs, build_index
+from .varint import (
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+__all__ = [
+    "IndexConfig", "TokenizeDocs", "build_index",
+    "decode_postings", "delta_decode", "delta_encode",
+    "encode_postings", "varint_decode", "varint_encode",
+]

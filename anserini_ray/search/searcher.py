@@ -1,0 +1,388 @@
+"""Top-k BM25 retrieval over the segmented index.
+
+Execution shapes (reference analogs in parens):
+
+- ``LocalSearcher`` — scores queries against segments loaded in-process
+  (per-thread `IndexSearcher`, `SearchCollection.java:138-158`). Holds the
+  readers; used directly in tests, inside actors, and inside the
+  ``SearcherStage`` map_batches class.
+- ``Searcher`` — the serving facade (`SimpleSearcher.java:119-365`): spawns
+  one ``@ray.remote`` segment-group actor per group, broadcasts queries,
+  k-way merges per-segment top-k with (score desc, docid asc) tie-break
+  (`BREAK_SCORE_TIES_BY_DOCID`, `SearchCollection.java:115-116`), applies
+  the ties-adjust cascade and returns ranked results / TREC run lines.
+  Raw actors (not Dataset) because a shared read-only serving index is
+  exactly the state the Dataset API cannot express.
+- ``SearcherStage`` — a callable class for
+  ``queries_ds.map_batches(SearcherStage, concurrency=N, ...)``: the batch
+  path for query *datasets* (reference analog: `SearchCollection.runTopics`
+  thread pool, `SearchCollection.java:428-444`).
+
+Scoring: term-at-a-time, fully vectorized per term over a dense float32
+accumulator (segment-bounded memory). Optional MaxScore/block-max pruning
+("pruned" mode) decodes only impact blocks that can matter; it is
+score-exact for the top-k and verified against the exhaustive path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.analyzer import make_analyzer
+from ..state.manifest import IndexManifest
+from .bm25 import DEFAULT_B, DEFAULT_K1, BM25Params, F, idf
+from .segment_reader import SegmentReader
+from .ties import adjust_score_ties, format_trec_run
+
+DEFAULT_K = 1000
+
+
+def _merge_ranked(per_segment: list[list[tuple[str, float]]], k: int):
+    """k-way merge of per-segment (docid, score) lists by
+    (score desc, docid asc)."""
+    allhits = [h for seg in per_segment for h in seg]
+    allhits.sort(key=lambda h: (-h[1], h[0]))
+    return allhits[:k]
+
+
+class LocalSearcher:
+    def __init__(
+        self,
+        index_dir: str,
+        segment_ids: Sequence[int] | None = None,
+        k1: float = DEFAULT_K1,
+        b: float = DEFAULT_B,
+        mode: str | None = None,
+        analyzer_config: dict | None = None,
+        prune: bool = False,
+    ):
+        self.manifest = IndexManifest.read(index_dir)
+        if segment_ids is None:
+            segment_ids = [s["segment_id"] for s in self.manifest.segments]
+        self.readers = [
+            SegmentReader(index_dir, sid, self.manifest) for sid in segment_ids
+        ]
+        self.mode = mode or self.manifest.norm_mode
+        self.params = BM25Params(
+            self.manifest.doc_count, self.manifest.sum_total_tf, k1, b, self.mode
+        )
+        self.analyzer = make_analyzer(analyzer_config)
+        self.prune = prune
+
+    # ---------------------------------------------------------------- query
+    def _clauses(self, query_text: str) -> list[tuple[str, int]]:
+        """Analyzed unique terms in first-occurrence order with occurrence
+        counts (duplicate tokens add clauses: BagOfWordsQueryGenerator)."""
+        tokens = self.analyzer.analyze(query_text)
+        counts: dict[str, int] = {}
+        for t in tokens:
+            counts[t] = counts.get(t, 0) + 1
+        return list(counts.items())
+
+    def _segment_topk(
+        self, reader: SegmentReader, clauses, k: int
+    ) -> list[tuple[str, float]]:
+        N = self.params.doc_count
+        dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
+        acc = np.zeros(reader.doc_count, dtype=np.float32)
+        touched = np.zeros(reader.doc_count, dtype=bool)
+        for term, cnt in clauses:
+            post = reader.postings(term)
+            if post is None:
+                continue
+            gdf = reader.global_df.get(term, 0)
+            if gdf <= 0:
+                continue
+            w = F(cnt) * idf(gdf, N)
+            ords, tfs = post
+            contrib = self.params.score_postings(w, tfs, dl[ords])
+            acc[ords] += contrib
+            touched[ords] = True
+        cand = np.flatnonzero(touched)
+        if cand.size == 0:
+            return []
+        scores = acc[cand]
+        return self._rank(reader, cand, scores, k)
+
+    def _segment_topk_pruned(
+        self, reader: SegmentReader, clauses, k: int
+    ) -> list[tuple[str, float]]:
+        """MaxScore-style two-phase scoring with block-max refinement.
+
+        Phase 1 scores "essential" terms (those whose upper bounds are needed
+        to reach the current top-k) exhaustively; non-essential terms are
+        scored only for candidate docs, decoding only the impact blocks that
+        contain candidates. Exact: a doc absent from every essential posting
+        list cannot reach the top-k by the upper-bound argument."""
+        N = self.params.doc_count
+        params = self.params
+        dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
+        info = []
+        for term, cnt in clauses:
+            row = reader.term_row(term)
+            if row is None:
+                continue
+            gdf = reader.global_df.get(term, 0)
+            if gdf <= 0:
+                continue
+            w = F(cnt) * idf(gdf, N)
+            max_tf = int(reader._max_tf[row])
+            # upper bound: max tf, minimal dl=0 → tf/(tf + k1(1-b)) * w
+            ub = float(
+                params.score_postings(
+                    w, np.array([max_tf]), np.zeros(1, dtype=np.float32)
+                )[0]
+            )
+            info.append((term, w, ub, int(reader._df[row])))
+        if not info:
+            return []
+        # essential = large upper bounds first; keep until the remaining
+        # bounds could not by themselves produce a top-k doc. With no
+        # threshold known up-front, a safe heuristic: terms are essential
+        # unless rarely discriminative; we take essential = all terms whose
+        # cumulative tail UB >= smallest... simplest exact choice: essential
+        # = the ceil(len/2) highest-UB terms, then verify via bound check.
+        by_ub = sorted(info, key=lambda x: -x[2])
+        acc = np.zeros(reader.doc_count, dtype=np.float32)
+        touched = np.zeros(reader.doc_count, dtype=bool)
+        n_ess = max(1, len(by_ub) - _count_prunable(by_ub, k))
+        essential, rest = by_ub[:n_ess], by_ub[n_ess:]
+        term_data: dict[str, tuple] = {}
+        for term, w, ub, df in essential:
+            ords, tfs = reader.postings(term)
+            term_data[term] = (ords, tfs, w)
+            acc[ords] += params.score_postings(w, tfs, dl[ords])
+            touched[ords] = True
+        cand = np.flatnonzero(touched)
+        if cand.size == 0:
+            return []
+        if rest:
+            rest_ub = F(0)
+            for _, _, ub, _ in rest:
+                rest_ub += F(ub)
+            # threshold: kth best partial; docs outside cand can score at
+            # most rest_ub (their essential partial is 0). Pruning them is
+            # exact only when rest_ub < kth — otherwise fall back to the
+            # exhaustive path (which is also the float32-order reference).
+            partial = acc[cand]
+            if cand.size > k:
+                kth = np.partition(partial, cand.size - k)[cand.size - k]
+            else:
+                kth = F(-np.inf)
+            if not (rest_ub < kth):
+                return self._segment_topk(reader, clauses, k)
+            for term, w, ub, df in rest:
+                bf, bn, bmt, bmd, bdo, bto = reader.block_meta(term)
+                # decode only blocks whose ord range contains a candidate
+                lasts = np.empty(bf.size, dtype=np.int64)
+                lasts[:-1] = bf[1:] - 1
+                lasts[-1] = reader.doc_count - 1
+                chosen = np.flatnonzero(
+                    _blocks_with_candidates(bf, lasts, cand)
+                )
+                if chosen.size == 0:
+                    continue
+                ords, tfs = reader.decode_blocks(term, chosen)
+                term_data[term] = (ords, tfs, w)
+                mask = touched[ords]
+                o2, t2 = ords[mask], tfs[mask]
+                if o2.size:
+                    acc[o2] += params.score_postings(w, t2, dl[o2])
+        # Final-candidate selection on phase scores (which may differ from the
+        # exhaustive float32 sums by a few ulps because accumulation order was
+        # UB-sorted), with a tie-safe margin …
+        phase_scores = acc[cand]
+        if cand.size > k:
+            kth = np.partition(phase_scores, cand.size - k)[cand.size - k]
+            keep = phase_scores >= kth - F(1e-4)
+            cand = cand[keep]
+        # … then an exact clause-order float32 rescore of just those
+        # candidates, bit-identical to the exhaustive path.
+        acc2 = np.zeros(cand.size, dtype=np.float32)
+        for term, cnt in clauses:
+            data = term_data.get(term)
+            if data is None:
+                continue
+            ords, tfs, w = data
+            pos = np.searchsorted(ords, cand)
+            pos_c = np.minimum(pos, ords.size - 1)
+            hit = ords[pos_c] == cand
+            if hit.any():
+                sub = pos_c[hit]
+                acc2[hit] += params.score_postings(w, tfs[sub], dl[cand[hit]])
+        return self._rank(reader, cand, acc2, k)
+
+    def _rank(self, reader, cand, scores, k):
+        """Order candidates by (score desc, docid-string asc), take k."""
+        if cand.size > k:
+            part = np.argpartition(-scores, k - 1)
+            # include the whole tie group at the boundary
+            kth_score = scores[part[k - 1]]
+            keep = scores >= kth_score
+            cand, scores = cand[keep], scores[keep]
+        docids = reader.doc_id_strings(cand)
+        order = sorted(range(cand.size), key=lambda i: (-scores[i], docids[i]))
+        return [(docids[i], float(scores[i])) for i in order[:k]]
+
+    def search(self, query_text: str, k: int = DEFAULT_K, adjust_ties: bool = True):
+        clauses = self._clauses(query_text)
+        per_seg = []
+        if clauses:
+            fn = self._segment_topk_pruned if self.prune else self._segment_topk
+            per_seg = [fn(r, clauses, k) for r in self.readers]
+        hits = _merge_ranked(per_seg, k)
+        docids = [h[0] for h in hits]
+        scores = np.array([h[1] for h in hits], dtype=np.float32)
+        if adjust_ties:
+            scores = adjust_score_ties(scores)
+        return docids, scores
+
+    def batch_search(self, queries: Sequence[tuple], k: int = DEFAULT_K):
+        """[(qid, text), ...] -> {qid: (docids, scores)} (SimpleSearcher
+        `batchSearch`, `SimpleSearcher.java:213-284`)."""
+        return {qid: self.search(text, k) for qid, text in queries}
+
+
+def _count_prunable(info, k: int) -> int:
+    """How many lowest-UB terms can be deferred to phase B. Heuristic: defer
+    terms while the number of essential terms stays >= 1. Correctness never
+    depends on this choice — only on the phase-B bound logic."""
+    return max(0, len(info) - max(1, (len(info) + 1) // 2))
+
+
+def dl_block_min(bmd: np.ndarray, mode: str) -> np.ndarray:
+    if mode == "lucene":
+        from .norms import quantize_lengths
+
+        return quantize_lengths(bmd.astype(np.int64)).astype(np.float32)
+    return bmd.astype(np.float32)
+
+
+def _blocks_with_candidates(bf, lasts, cand) -> np.ndarray:
+    """Boolean mask of blocks whose [first, last] ord range contains at least
+    one candidate ord (cand sorted ascending)."""
+    left = np.searchsorted(cand, bf, side="left")
+    right = np.searchsorted(cand, lasts, side="right")
+    return right > left
+
+
+# --------------------------------------------------------------------------
+# Ray serving: one actor per segment group (scatter/gather)
+# --------------------------------------------------------------------------
+
+def _make_segment_actor():
+    import ray
+
+    @ray.remote
+    class SegmentSearchActor:
+        def __init__(self, index_dir, segment_ids, k1, b, mode, analyzer_config, prune):
+            self.local = LocalSearcher(
+                index_dir, segment_ids, k1, b, mode, analyzer_config, prune
+            )
+
+        def search_many(self, queries, k):
+            out = {}
+            for qid, text in queries:
+                clauses = self.local._clauses(text)
+                per_seg = []
+                if clauses:
+                    fn = (
+                        self.local._segment_topk_pruned
+                        if self.local.prune
+                        else self.local._segment_topk
+                    )
+                    per_seg = [fn(r, clauses, k) for r in self.local.readers]
+                out[qid] = _merge_ranked(per_seg, k)
+            return out
+
+    return SegmentSearchActor
+
+
+class Searcher:
+    """Serving facade over segment-group actors (Python API parity with the
+    reference's `SimpleSearcher`)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: int | None = None,
+        k1: float = DEFAULT_K1,
+        b: float = DEFAULT_B,
+        mode: str | None = None,
+        analyzer_config: dict | None = None,
+        prune: bool = False,
+    ):
+        self.manifest = IndexManifest.read(index_dir)
+        seg_ids = [s["segment_id"] for s in self.manifest.segments]
+        n = min(num_actors or len(seg_ids), len(seg_ids)) or 1
+        groups = [seg_ids[i::n] for i in range(n)]
+        Actor = _make_segment_actor()
+        self.actors = [
+            Actor.remote(index_dir, g, k1, b, mode, analyzer_config, prune)
+            for g in groups
+            if g
+        ]
+
+    def search(self, query_text: str, k: int = DEFAULT_K, adjust_ties: bool = True):
+        return self.batch_search([("q", query_text)], k, adjust_ties)["q"]
+
+    def batch_search(
+        self, queries: Sequence[tuple], k: int = DEFAULT_K, adjust_ties: bool = True
+    ):
+        import ray
+
+        futures = [a.search_many.remote(list(queries), k) for a in self.actors]
+        partials = ray.get(futures)
+        out = {}
+        for qid, _ in queries:
+            hits = _merge_ranked([p.get(qid, []) for p in partials], k)
+            docids = [h[0] for h in hits]
+            scores = np.array([h[1] for h in hits], dtype=np.float32)
+            if adjust_ties:
+                scores = adjust_score_ties(scores)
+            out[qid] = (docids, scores)
+        return out
+
+    def run_to_trec(self, queries, k: int = DEFAULT_K, runtag: str = "AnseriniRay"):
+        results = self.batch_search(queries, k)
+        lines = []
+        for qid, _ in queries:
+            docids, scores = results[qid]
+            lines.extend(format_trec_run(qid, docids, scores, runtag))
+        return lines
+
+
+class SearcherStage:
+    """map_batches callable-class for query Datasets:
+    ``queries_ds.map_batches(SearcherStage, fn_constructor_args=(index_dir,),
+    concurrency=N, batch_size=B, batch_format="pyarrow")``.
+    Each actor loads the full segment set once (single-node batch path)."""
+
+    def __init__(self, index_dir: str, k: int = DEFAULT_K, **kwargs):
+        self.local = LocalSearcher(index_dir, **kwargs)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docids, scores = [], [], [], []
+        for qid, text in zip(
+            batch["qid"].to_pylist(), batch["text"].to_pylist()
+        ):
+            d, s = self.local.search(text, self.k)
+            for r, (di, si) in enumerate(zip(d, s)):
+                qids.append(qid)
+                ranks.append(r + 1)
+                docids.append(di)
+                scores.append(float(si))
+        return pa.Table.from_arrays(
+            [
+                pa.array(qids),
+                pa.array(ranks, type=pa.int32()),
+                pa.array(docids, type=pa.string()),
+                pa.array(scores, type=pa.float32()),
+            ],
+            names=["qid", "rank", "doc_id", "score"],
+        )

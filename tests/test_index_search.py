@@ -1,0 +1,176 @@
+"""End-to-end: build the inverted index with the Ray pipeline, verify index
+stats + BM25 top-k rank/score identity against the independent brute-force
+oracle (the analog of the reference's EndToEndTest golden runs)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from anserini_ray.sources import generate_transcripts
+from oracle import BruteForceIndex
+
+QUERIES = [
+    ("1", "merge sort"),
+    ("2", "hash join pipeline"),
+    ("3", "window"),
+    ("4", "the fast table scan"),
+    ("5", "city buses running on schedule"),
+    ("6", "query query plan"),          # duplicate token → additive clause
+    ("7", "zq0007 zq0123"),             # rare terms
+    ("8", "the of and to"),             # all stopwords → empty result
+    ("9", "nosuchterm qqqq"),           # OOV
+    ("10", "pipeline"),                  # hot term, many ties
+]
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    from anserini_ray.index import IndexConfig, build_index
+
+    tmp = tmp_path_factory.mktemp("idx")
+    corpus_path = str(tmp / "corpus.parquet")
+    table = generate_transcripts(1500, seed=7)
+    pq.write_table(table, corpus_path)
+
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus_path, columns=["conv_id", "turn_idx", "text"])
+    index_dir = str(tmp / "index")
+    config = IndexConfig(seg_shift=8)  # 256-doc segments → multi-segment
+    manifest = build_index(ds, index_dir, config, input_files=[corpus_path])
+
+    docs = [
+        (f"{c}:{t}", x)
+        for c, t, x in zip(
+            table["conv_id"].to_pylist(),
+            table["turn_idx"].to_pylist(),
+            table["text"].to_pylist(),
+        )
+    ]
+    oracle = BruteForceIndex(docs)
+    return index_dir, manifest, oracle, table, corpus_path, config
+
+
+def test_collection_stats(built_index):
+    index_dir, manifest, oracle, table, *_ = built_index
+    assert manifest.doc_count == oracle.N
+    assert manifest.sum_total_tf == oracle.sum_dl
+    assert manifest.counters["indexed"] == oracle.N
+    assert manifest.counters["total_input"] == table.num_rows
+    assert manifest.counters["empty"] == table.num_rows - oracle.N
+    assert len(manifest.segments) > 1
+
+
+def test_term_stats_match_oracle(built_index):
+    index_dir, manifest, oracle, *_ = built_index
+    from anserini_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    # aggregate engine df/cf across segments
+    eng_df: dict = {}
+    eng_cf: dict = {}
+    for r in s.readers:
+        for i, term in enumerate(r._terms.to_pylist()):
+            eng_df[term] = eng_df.get(term, 0) + int(r._df[i])
+            eng_cf[term] = eng_cf.get(term, 0) + int(r._cf[i])
+    assert set(eng_df) == set(oracle.tf)
+    for term in oracle.tf:
+        assert eng_df[term] == oracle.df(term), term
+        assert eng_cf[term] == oracle.cf(term), term
+    # global stats sidecar agrees
+    for r in s.readers:
+        for term, gdf in r.global_df.items():
+            assert gdf == oracle.df(term), term
+
+
+@pytest.mark.parametrize("mode", ["lucene", "accurate"])
+def test_topk_rank_and_score_identity(built_index, mode):
+    index_dir, *_ , oracle, table, corpus_path, config = built_index
+    from anserini_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir, mode=mode)
+    for qid, qtext in QUERIES:
+        docids, scores = s.search(qtext, k=50, adjust_ties=False)
+        expected = oracle.search(qtext, k=50, mode=mode)
+        assert docids == [d for d, _ in expected], f"q{qid} rank mismatch"
+        got = np.array(scores, dtype=np.float32)
+        want = np.array([sc for _, sc in expected], dtype=np.float32)
+        assert np.array_equal(got, want), (
+            f"q{qid} score mismatch: {got[:5]} vs {want[:5]}"
+        )
+
+
+def test_pruned_matches_exhaustive(built_index):
+    index_dir, *_ = built_index
+    from anserini_ray.search import LocalSearcher
+
+    s0 = LocalSearcher(index_dir, prune=False)
+    s1 = LocalSearcher(index_dir, prune=True)
+    for qid, qtext in QUERIES:
+        d0, sc0 = s0.search(qtext, k=25, adjust_ties=False)
+        d1, sc1 = s1.search(qtext, k=25, adjust_ties=False)
+        assert d0 == d1, f"q{qid}"
+        np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
+
+
+def test_ties_adjust_and_trec_format(built_index):
+    index_dir, *_ = built_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.search.ties import format_trec_run
+
+    s = LocalSearcher(index_dir)
+    docids, scores = s.search("pipeline", k=100)
+    # adjusted scores must be strictly decreasing (that's the whole point)
+    assert all(scores[i] > scores[i + 1] for i in range(len(scores) - 1))
+    lines = format_trec_run("10", docids, scores)
+    parts = lines[0].split()
+    assert parts[1] == "Q0" and parts[3] == "1" and len(parts) == 6
+    float(parts[4])
+
+
+def test_searcher_facade_matches_local(built_index, ray_session):
+    index_dir, *_ = built_index
+    from anserini_ray.search import LocalSearcher, Searcher
+
+    local = LocalSearcher(index_dir)
+    served = Searcher(index_dir, num_actors=2)
+    res = served.batch_search(QUERIES, k=20)
+    for qid, qtext in QUERIES:
+        d_l, s_l = local.search(qtext, k=20)
+        d_s, s_s = res[qid]
+        assert d_l == d_s, qid
+        assert np.array_equal(np.asarray(s_l), np.asarray(s_s)), qid
+
+
+def test_resume_skips_done_segments(built_index, ray_session):
+    index_dir, manifest, oracle, table, corpus_path, config = built_index
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.state.manifest import completed_segments
+
+    done_before = completed_segments(index_dir, manifest.fingerprint)
+    assert done_before == {s["segment_id"] for s in manifest.segments}
+
+    # drop one segment's manifest + files → resume must rebuild only it
+    victim = manifest.segments[1]["segment_id"]
+    os.unlink(os.path.join(index_dir, "manifests", f"seg-{victim:06d}.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "postings", f"segment_id={victim}"))
+    shutil.rmtree(os.path.join(index_dir, "docmap", f"segment_id={victim}"))
+
+    ds = ray.data.read_parquet(corpus_path, columns=["conv_id", "turn_idx", "text"])
+    cfg = IndexConfig(seg_shift=config.seg_shift, resume=True)
+    m2 = build_index(ds, index_dir, cfg, input_files=[corpus_path])
+    assert m2.doc_count == manifest.doc_count
+    assert m2.sum_total_tf == manifest.sum_total_tf
+
+    s = LocalSearcher(index_dir)
+    for qid, qtext in QUERIES[:5]:
+        docids, scores = s.search(qtext, k=20, adjust_ties=False)
+        expected = oracle.search(qtext, k=20)
+        assert docids == [d for d, _ in expected], f"after resume q{qid}"
