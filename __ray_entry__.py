@@ -1,44 +1,139 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in anserini_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``  — flagship: build the inverted index over the sf0.001
+  transcript corpus and run the benchmark query set through the BM25 engine;
+  returns the ranked run table.
+- ``queries()`` — one callable per implemented pipeline (SURVEY.md §2).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
+  engine-internal pipelines (Porter analysis, float32 scoring, index
+  structures) are covered instead by the brute-force-oracle pytest suite.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_DEF_SF = "/root/testdata/sf0.001"
+
+
+def _ensure_index(sf_dir: str, norm_mode: str = "lucene") -> str:
+    """Build (or reuse a fingerprint-matching cached build of) the inverted
+    index for sf_dir's transcript corpus under /tmp."""
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.sources import transcripts_from_documents
+    from anserini_ray.state import IndexManifest, input_fingerprint
+
+    files = [os.path.join(sf_dir, "documents.parquet")]
+    cfg = IndexConfig(seg_shift=13, norm_mode=norm_mode)
+    fp = input_fingerprint(files, cfg.repr_for_fingerprint())
+    tag = hashlib.sha1(f"{sf_dir}|{norm_mode}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/anserini_ray_index_{tag}"
+    try:
+        if IndexManifest.read(index_dir).fingerprint == fp:
+            return index_dir
+    except (FileNotFoundError, KeyError, TypeError):
+        pass
+    build_index(
+        transcripts_from_documents(sf_dir), index_dir, cfg, input_files=files
+    )
+    return index_dir
+
+
+def _engine_run(sf_dir: str, k: int = 10):
+    """BM25 top-k over the built index for the benchmark query set (Porter
+    analyzer, float32 Lucene parity, ties-adjusted)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import Searcher
+
+    index_dir = _ensure_index(sf_dir)
+    searcher = Searcher(index_dir, num_actors=4)
+    res = searcher.batch_search([(q, t) for q, t in SIMPLE_QUERIES], k=k)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, _ in SIMPLE_QUERIES:
+        d, s = res[qid]
+        for r, (di, si) in enumerate(zip(d, s)):
+            qids.append(qid)
+            ranks.append(r + 1)
+            docs.append(di)
+            scores.append(float(si))
+    return pa.Table.from_arrays(
+        [
+            pa.array(qids, type=pa.int32()),
+            pa.array(ranks, type=pa.int32()),
+            pa.array(docs, type=pa.string()),
+            pa.array(np.asarray(scores, dtype=np.float32), type=pa.float32()),
+        ],
+        names=["qid", "rank", "doc_id", "score"],
+    )
+
+
+def _index_term_stats(sf_dir: str):
+    """df/cf per analyzed term, read from the BUILT index segments
+    (CheckIndex-style conformance surface)."""
+    import pyarrow as pa
+
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    agg_df: dict[str, int] = {}
+    agg_cf: dict[str, int] = {}
+    for r in s.readers:
+        terms = r._terms.to_pylist()
+        for i, t in enumerate(terms):
+            agg_df[t] = agg_df.get(t, 0) + int(r._df[i])
+            agg_cf[t] = agg_cf.get(t, 0) + int(r._cf[i])
+    items = sorted(agg_df.items())
+    return pa.Table.from_arrays(
+        [
+            pa.array([t for t, _ in items]),
+            pa.array([d for _, d in items], type=pa.int64()),
+            pa.array([agg_cf[t] for t, _ in items], type=pa.int64()),
+        ],
+        names=["term", "df", "cf"],
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _engine_run(_DEF_SF)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from anserini_ray.pipelines import simple as S
+    from anserini_ray.sources import transcripts_from_documents
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checkable (whitespace-token mirrors of the engine semantics)
+        "transcripts_derive": lambda sf: transcripts_from_documents(sf),
+        "term_df_cf": S.term_df_cf,
+        "doc_lengths": S.doc_lengths,
+        "top_terms": S.top_terms,
+        "collection_stats": S.collection_stats,
+        "bm25_topk_simple": S.bm25_topk_simple,
+        # engine-internal (verified vs brute-force oracle in tests/)
+        "bm25_topk_engine": _engine_run,
+        "index_term_stats": _index_term_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from anserini_ray.pipelines import simple as S
+    from anserini_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return {
+        "transcripts_derive": TRANSCRIPTS_SQL,
+        "term_df_cf": S.term_df_cf_sql(),
+        "doc_lengths": S.doc_lengths_sql(),
+        "top_terms": S.top_terms_sql(),
+        "collection_stats": S.collection_stats_sql(),
+        "bm25_topk_simple": S.bm25_topk_simple_sql(),
+    }

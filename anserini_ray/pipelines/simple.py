@@ -1,0 +1,346 @@
+"""SQL-oracle-checkable corpus pipelines (whitespace tokenizer).
+
+These mirror index-side aggregations of the engine (df/cf/doc-length/top-df,
+`J/index/IndexReaderUtils.java:147-221`, `J/util/ExtractTopDfTerms.java`,
+`ExtractDocumentLengths.java`) and the full BM25 batch-scoring semantics
+(`SearchCollection.java` + `AccurateBM25Similarity.java`) — but use a plain
+whitespace+lowercase tokenizer and float64 math so every pipeline has an
+EXACT DuckDB SQL equivalent for the driver's correctness harness. The
+Porter-analyzed float32 engine itself is verified separately against the
+brute-force oracle in tests/.
+
+All pipelines stream: read_parquet (pruned columns) → map_batches →
+groupby/aggregate; driver-side materialization only of final small results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..sources.transcripts import transcripts_from_documents
+
+
+def simple_tokens(text: str) -> list[str]:
+    """Whitespace + lowercase tokenization — SQL mirror:
+    ``unnest(regexp_split_to_array(lower(text), '\\s+'))`` filtered of ''. """
+    return text.lower().split()
+
+
+def _doc_id_col(batch: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        batch["conv_id"].combine_chunks(),
+        pc.cast(batch["turn_idx"], pa.string()).combine_chunks(),
+        ":",
+    )
+
+
+def _explode_simple(batch: pa.Table) -> pa.Table:
+    """(conv_id, turn_idx, text) -> exploded (doc_id, term, tf, dl) rows
+    (one row per distinct term per doc), non-empty docs only."""
+    doc_ids = _doc_id_col(batch).to_pylist()
+    texts = batch["text"].to_pylist()
+    out_doc, out_term, out_tf, out_dl = [], [], [], []
+    for did, text in zip(doc_ids, texts):
+        if text is None or not text.strip():
+            continue
+        toks = simple_tokens(text)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        dl = len(toks)
+        for t, c in counts.items():
+            out_doc.append(did)
+            out_term.append(t)
+            out_tf.append(c)
+            out_dl.append(dl)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_doc, type=pa.string()),
+            pa.array(out_term, type=pa.string()),
+            pa.array(out_tf, type=pa.int64()),
+            pa.array(out_dl, type=pa.int64()),
+        ],
+        names=["doc_id", "term", "tf", "dl"],
+    )
+
+
+def exploded_terms(sf_dir: str):
+    return transcripts_from_documents(sf_dir).map_batches(
+        _explode_simple, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------ queries
+def term_df_cf(sf_dir: str):
+    """Per-term document frequency + collection frequency."""
+    ds = exploded_terms(sf_dir)
+    agg = ds.groupby("term").aggregate(Count(), Sum("tf"))
+    return agg.rename_columns(["term", "df", "cf"])
+
+
+def doc_lengths(sf_dir: str):
+    """Per-doc token count (ExtractDocumentLengths analog)."""
+    ds = exploded_terms(sf_dir)
+    agg = ds.groupby("doc_id").aggregate(Sum("tf"))
+    return agg.rename_columns(["doc_id", "dl"])
+
+
+def top_terms(sf_dir: str, k: int = 50):
+    """Top-k terms by df (ExtractTopDfTerms analog); deterministic order."""
+    stats = term_df_cf(sf_dir)
+    out = stats.sort(["df", "term"], descending=[True, False]).limit(k)
+    return out
+
+
+def collection_stats(sf_dir: str):
+    """Single-row doc_count / sum_dl / avgdl (collectionStatistics analog)."""
+    dl = doc_lengths(sf_dir)
+    n = dl.count()
+    s = dl.sum("dl")
+    return pa.Table.from_arrays(
+        [
+            pa.array([n], type=pa.int64()),
+            pa.array([s], type=pa.int64()),
+            pa.array([s / n], type=pa.float64()),
+        ],
+        names=["doc_count", "sum_dl", "avgdl"],
+    )
+
+
+# Fixed benchmark query set (vocabulary of the synthetic documents corpus).
+# 'window window' exercises additive duplicate clauses
+# (BagOfWordsQueryGenerator.java:37-41).
+SIMPLE_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "hash join"),
+    (3, "window window"),
+    (4, "the fast table scan"),
+    (5, "spark streaming data"),
+    (6, "customer line value"),
+    (7, "vector"),
+    (8, "slow query plan"),
+    (9, "big batch group agg"),
+    (10, "key order filter row"),
+]
+
+BM25_K1 = 0.9
+BM25_B = 0.4
+BM25_TOPK = 10
+
+
+def _query_clauses(queries=SIMPLE_QUERIES) -> list[tuple[int, str, int]]:
+    out = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for t in simple_tokens(text):
+            counts[t] = counts.get(t, 0) + 1
+        out.extend((qid, t, c) for t, c in counts.items())
+    return out
+
+
+def query_clauses_sql_values(queries=SIMPLE_QUERIES) -> str:
+    return ", ".join(
+        f"({qid}, '{term}', {cnt})" for qid, term, cnt in _query_clauses(queries)
+    )
+
+
+def bm25_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
+    """Distributed batch BM25 (float64, whitespace tokens, k1=0.9 b=0.4) —
+    the SQL-checkable mirror of the engine's scoring semantics.
+
+    Plan: exploded postings → [small] df aggregate broadcast via ray.put →
+    map_batches partial scoring against the broadcast clause table →
+    groupby(qid, doc_id) sum → per-qid top-k (round(1e-4) then
+    (score desc, doc_id asc), mirroring ties-adjust determinism) → final
+    ranked table. The only wide ops are one small groupby on the candidate
+    set; postings never leave their batch unscored."""
+    ds = exploded_terms(sf_dir).materialize()
+
+    # collection stats + per-query-term df (small: bounded by query vocab)
+    n_docs = ds.groupby("doc_id").aggregate(Count()).count()
+    sum_dl = (
+        ds.groupby("doc_id").aggregate(Max("dl")).sum("max(dl)")
+    )
+    avgdl = sum_dl / n_docs
+    clauses = _query_clauses(queries)
+    qterms = {t for _, t, _ in clauses}
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["term"], pa.array(list(qterms)))
+        sub = batch.filter(mask)
+        uniq, counts = np.unique(
+            np.asarray(sub["term"].to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.Table.from_arrays(
+            [pa.array(uniq.astype(str)), pa.array(counts, type=pa.int64())],
+            names=["term", "pdf"],
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf"))
+        .take_all()
+    )
+    df_map = {r["term"]: int(r["sum(pdf)"]) for r in df_rows}
+    idf = {
+        t: float(np.log(1 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)))
+        for t in qterms
+    }
+    clause_info = [
+        (qid, t, cnt, idf[t]) for qid, t, cnt in clauses if df_map.get(t, 0) > 0
+    ]
+    broadcast = ray.put((clause_info, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        cinfo, avg = ray.get(broadcast)
+        terms = batch["term"].to_pylist()
+        tfs = batch["tf"].to_numpy().astype(np.float64)
+        dls = batch["dl"].to_numpy().astype(np.float64)
+        denom_base = BM25_K1 * (1 - BM25_B + BM25_B * dls / avg)
+        qids_out, docs_out, contribs = [], [], []
+        term_arr = np.asarray(terms, dtype=object)
+        doc_arr = batch["doc_id"].to_pylist()
+        for qid, t, cnt, w in cinfo:
+            hit = np.flatnonzero(term_arr == t)
+            if hit.size == 0:
+                continue
+            c = cnt * w * tfs[hit] / (tfs[hit] + denom_base[hit])
+            for i, h in enumerate(hit):
+                qids_out.append(qid)
+                docs_out.append(doc_arr[h])
+                contribs.append(float(c[i]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(qids_out, type=pa.int32()),
+                pa.array(docs_out, type=pa.string()),
+                pa.array(contribs, type=pa.float64()),
+            ],
+            names=["qid", "doc_id", "contrib"],
+        )
+
+    scored = (
+        ds.map_batches(score_partial, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Sum("contrib"))
+    )
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        scores = np.round(group["sum(contrib)"].to_numpy(), 4)
+        docs = group["doc_id"].to_pylist()
+        order = sorted(
+            range(len(docs)), key=lambda i: (-scores[i], docs[i])
+        )[:k]
+        return pa.Table.from_arrays(
+            [
+                group["qid"].take(pa.array(order)),
+                pa.array(list(range(1, len(order) + 1)), type=pa.int32()),
+                pa.array([docs[i] for i in order], type=pa.string()),
+                pa.array([float(scores[i]) for i in order], type=pa.float64()),
+            ],
+            names=["qid", "rank", "doc_id", "score"],
+        )
+
+    result = (
+        scored.groupby("qid")
+        .map_groups(topk_group, batch_format="pyarrow")
+        .sort(["qid", "rank"])
+    )
+    return result
+
+
+# ------------------------------------------------------------- oracle SQL
+_TOKS_CTE = """
+  docs AS (
+    SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id, text
+    FROM transcripts WHERE trim(text) <> ''
+  ),
+  toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    FROM docs
+  ),
+  toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+  dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1)
+"""
+
+
+def _with_transcripts(body: str) -> str:
+    from ..sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"WITH transcripts AS ({TRANSCRIPTS_SQL}), {body}"
+
+
+def term_df_cf_sql() -> str:
+    return _with_transcripts(
+        _TOKS_CTE
+        + """
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term"""
+    )
+
+
+def doc_lengths_sql() -> str:
+    return _with_transcripts(
+        _TOKS_CTE + "\nSELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dl"
+    )
+
+
+def top_terms_sql(k: int = 50) -> str:
+    return _with_transcripts(
+        _TOKS_CTE
+        + f"""
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term
+        ORDER BY df DESC, term ASC LIMIT {k}"""
+    )
+
+
+def collection_stats_sql() -> str:
+    return _with_transcripts(
+        _TOKS_CTE
+        + """
+        SELECT count(*) AS doc_count, CAST(sum(dl) AS BIGINT) AS sum_dl,
+               sum(dl) / count(*) AS avgdl
+        FROM dl"""
+    )
+
+
+def bm25_topk_simple_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
+    values = query_clauses_sql_values(queries)
+    return _with_transcripts(
+        _TOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  scores AS (
+    SELECT q.qid, tf.doc_id,
+           sum(q.cnt * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+           ) AS score
+    FROM q
+    JOIN tf ON q.term = tf.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM scores
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
