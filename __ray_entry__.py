@@ -30,7 +30,7 @@ def _ensure_index(sf_dir: str, norm_mode: str = "lucene") -> str:
     from anserini_ray.state import IndexManifest, input_fingerprint
 
     files = [os.path.join(sf_dir, "documents.parquet")]
-    cfg = IndexConfig(seg_shift=13, norm_mode=norm_mode)
+    cfg = IndexConfig(seg_shift=13, norm_mode=norm_mode, assume_sorted=True)
     fp = input_fingerprint(files, cfg.repr_for_fingerprint())
     tag = hashlib.sha1(f"{sf_dir}|{norm_mode}".encode()).hexdigest()[:12]
     index_dir = f"/tmp/anserini_ray_index_{tag}"
@@ -39,8 +39,14 @@ def _ensure_index(sf_dir: str, norm_mode: str = "lucene") -> str:
             return index_dir
     except (FileNotFoundError, KeyError, TypeError):
         pass
+    import pyarrow.parquet as pq
+
     build_index(
-        transcripts_from_documents(sf_dir), index_dir, cfg, input_files=files
+        transcripts_from_documents(sf_dir),
+        index_dir,
+        cfg,
+        input_files=files,
+        total_input=pq.read_metadata(files[0]).num_rows,
     )
     return index_dir
 
@@ -88,10 +94,9 @@ def _index_term_stats(sf_dir: str):
     agg_df: dict[str, int] = {}
     agg_cf: dict[str, int] = {}
     for r in s.readers:
-        terms = r._terms.to_pylist()
-        for i, t in enumerate(terms):
-            agg_df[t] = agg_df.get(t, 0) + int(r._df[i])
-            agg_cf[t] = agg_cf.get(t, 0) + int(r._cf[i])
+        for t, df, cf in r.iter_terms():
+            agg_df[t] = agg_df.get(t, 0) + df
+            agg_cf[t] = agg_cf.get(t, 0) + cf
     items = sorted(agg_df.items())
     return pa.Table.from_arrays(
         [
@@ -109,24 +114,40 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from anserini_ray.pipelines import simple as S
+    from anserini_ray.pipelines import training_data as TD
     from anserini_ray.sources import transcripts_from_documents
 
     return {
-        # SQL-checkable (whitespace-token mirrors of the engine semantics)
+        # --- fulltext engine surface (SQL-checkable whitespace mirrors) ---
         "transcripts_derive": lambda sf: transcripts_from_documents(sf),
         "term_df_cf": S.term_df_cf,
         "doc_lengths": S.doc_lengths,
         "top_terms": S.top_terms,
         "collection_stats": S.collection_stats,
         "bm25_topk_simple": S.bm25_topk_simple,
-        # engine-internal (verified vs brute-force oracle in tests/)
+        # --- engine-internal (verified vs brute-force oracle in tests/) ---
         "bm25_topk_engine": _engine_run,
         "index_term_stats": _index_term_stats,
+        # --- training-data ops (SQL-checkable) ---
+        "exact_dedup": TD.exact_dedup,
+        "quality_stats": TD.quality_stats,
+        "token_counts": TD.token_counts,
+        "ann_cosine_topk": TD.ann_cosine_topk,
+        "events_windowed": TD.events_windowed,
+        # --- training-data ops (rows-only: non-SQL-expressible) ---
+        "token_counts_analyzed": TD.token_counts_analyzed,
+        "lang_id": TD.lang_id,
+        "fingerprints": TD.fingerprints,
+        "minhash_dedup": TD.minhash_dedup,
+        "simhash_groups": TD.simhash_groups,
+        "ann_lsh_topk": TD.ann_lsh_topk,
+        "embedding_near_dup": TD.embedding_near_dup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from anserini_ray.pipelines import simple as S
+    from anserini_ray.pipelines import training_data as TD
     from anserini_ray.sources.transcripts import TRANSCRIPTS_SQL
 
     return {
@@ -136,4 +157,9 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": S.top_terms_sql(),
         "collection_stats": S.collection_stats_sql(),
         "bm25_topk_simple": S.bm25_topk_simple_sql(),
+        "exact_dedup": TD.EXACT_DEDUP_SQL,
+        "quality_stats": TD.QUALITY_STATS_SQL,
+        "token_counts": TD.TOKEN_COUNTS_SQL,
+        "ann_cosine_topk": TD.ANN_COSINE_SQL,
+        "events_windowed": TD.EVENTS_WINDOWED_SQL,
     }

@@ -149,30 +149,35 @@ class Analyzer:
             raise ValueError(f"unsupported stemmer: {stemmer!r} (porter|none)")
         self.stemmer = stemmer if stemmer != "none" else None
         self.stopwords = stopwords if stopwords is not None else frozenset()
-        self._memo: dict[str, str] = {}
+        # raw token -> fully processed token (possessive+lower+stop+stem), or
+        # None when the token is dropped; Zipfian vocab → very high hit rate
+        self._memo: dict[str, str | None] = {}
 
     def config_fingerprint(self) -> str:
         return f"std+poss+lower+stop{len(self.stopwords)}+{self.stemmer or 'nostem'}"
 
+    def _process(self, raw: str) -> str | None:
+        tok = strip_possessive(raw).lower()
+        if not tok or tok in self.stopwords:
+            return None
+        if self.stemmer == "porter":
+            tok = porter_stem(tok)
+            if not tok:
+                return None
+        return tok
+
     def analyze(self, text: str) -> list[str]:
         memo = self._memo
-        stop = self.stopwords
-        do_stem = self.stemmer == "porter"
         out: list[str] = []
+        _MISS = False  # sentinel distinct from None (None == dropped token)
         for raw in tokenize(text):
-            tok = strip_possessive(raw).lower()
-            if not tok or tok in stop:
-                continue
-            if do_stem:
-                stemmed = memo.get(tok)
-                if stemmed is None:
-                    stemmed = porter_stem(tok)
-                    if len(memo) < 1_000_000:  # bound actor memory
-                        memo[tok] = stemmed
-                tok = stemmed
-                if not tok:
-                    continue
-            out.append(tok)
+            tok = memo.get(raw, _MISS)
+            if tok is _MISS:
+                tok = self._process(raw)
+                if len(memo) < 2_000_000:  # bound actor memory
+                    memo[raw] = tok
+            if tok is not None:
+                out.append(tok)
         return out
 
 

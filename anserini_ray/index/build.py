@@ -26,15 +26,17 @@ Streaming DAG:
                                         sub-blocks by doc range, and the wide
                                         shuffle below moves compressed bytes,
                                         not raw postings.
-    → groupby(segment_id, term).map_groups(merge)   stitch sub-blocks (byte
-                                        concat + one varint rewrite each);
-                                        per-block (≤128 docs) max-tf / min-dl
+    → sort(segment_id, term)            locality sort of the compressed
+                                        sub-block rows (tiny vs. corpus);
+                                        rows ARE the on-disk posting format —
+                                        readers concat a term's rows, so no
+                                        merge/re-encode stage exists.
+                                        Per-block (≤128 docs) max-tf / min-dl
                                         impact metadata for block-max pruning
     → write_parquet(partition_cols=[segment_id])    posting segments
   + docmap  (doc_ord, conv_id, turn_idx, dl)        partitioned by segment
-  + termstats (term, global df, global cf)          per segment, via one
-                                        skinny groupby(term) over read-back
-                                        posting metadata
+  + termstats (term, global df, global cf)          per segment: vectorized
+                                        groupby aggregates + one hash join
   + manifests                           per-segment lineage + global stats;
                                         resume skips finished segments.
 """
@@ -59,10 +61,11 @@ from ..state.manifest import (
     completed_segments,
     input_fingerprint,
 )
-from .varint import varint_encode
+from .varint import varint_encode, varint_sizes
 
 INDEX_FORMAT_VERSION = 1
 BLOCK_SIZE = 128  # docs per impact block (block-max metadata granularity)
+BROADCAST_VOCAB_LIMIT = 2_000_000  # broadcast term stats below this; join above
 
 
 @dataclass
@@ -72,6 +75,18 @@ class IndexConfig:
     analyzer: dict = field(default_factory=dict)
     norm_mode: str = "lucene"    # "lucene" (byte4-quantized dl) | "accurate"
     resume: bool = False
+    # Input already globally ordered by (conv_id, turn_idx)? Then the global
+    # sort shuffle is skipped; ordinal assignment VERIFIES the order block by
+    # block (vectorized) and the build falls back to sorting if violated.
+    # Transcript corpora are typically stored in conversation order, making
+    # this the common fast path — it removes the only corpus-sized shuffle.
+    assume_sorted: bool = False
+    # partition count for the wide groupby shuffles (None = Ray default);
+    # size ≈ 2-4x total cluster cores at real scale
+    shuffle_partitions: int | None = 32
+    # rows per encode task (per-term runs get longer with bigger batches but
+    # tasks get fewer; ~16K balances parallelism vs. sub-row count)
+    encode_batch_size: int = 16384
 
     def repr_for_fingerprint(self) -> str:
         return (
@@ -80,45 +95,64 @@ class IndexConfig:
         )
 
 
+_ANALYZER_CACHE: dict = {}
+
+
+def _process_analyzer(analyzer_config: dict | None):
+    """Per-worker-process analyzer singleton. Tokenize runs as plain TASKS
+    (not an actor pool): Ray reuses warm worker processes across stages and
+    datasets, so the analyzer (and its stem memo) is built once per worker —
+    the same once-per-worker property as an actor pool, without paying actor
+    spin-up on every build. (Reference analog: per-thread generator,
+    IndexCollection.java:164-165.)"""
+    key = tuple(sorted((analyzer_config or {}).items()))
+    a = _ANALYZER_CACHE.get(key)
+    if a is None:
+        a = make_analyzer(analyzer_config)
+        _ANALYZER_CACHE[key] = a
+    return a
+
+
 class TokenizeDocs:
-    """Stateful map_batches stage: analyzer built once per actor
-    (reference analog: per-thread generator, IndexCollection.java:164-165)."""
+    """map_batches stage (works as a task fn via TokenizeDocs(cfg) or as a
+    callable class)."""
 
     def __init__(self, analyzer_config: dict | None = None):
-        self.analyzer = make_analyzer(analyzer_config)
+        self.analyzer_config = analyzer_config
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        analyze = self.analyzer.analyze
+        analyze = _process_analyzer(self.analyzer_config).analyze
         keep = np.ones(len(texts), dtype=bool)
-        dls = np.zeros(len(texts), dtype=np.int32)
-        all_terms: list[list[str]] = []
-        all_tfs: list[list[int]] = []
+        kept_dls: list[int] = []
+        flat_terms: list[str] = []
+        flat_tfs: list[int] = []
+        offsets: list[int] = [0]
+        from collections import Counter
+
         for i, text in enumerate(texts):
             if text is None or not text.strip():
                 keep[i] = False
-                all_terms.append([])
-                all_tfs.append([])
                 continue
             toks = analyze(text)
-            dls[i] = len(toks)
-            if toks:
-                counts: dict[str, int] = {}
-                for t in toks:
-                    counts[t] = counts.get(t, 0) + 1
-                all_terms.append(list(counts.keys()))
-                all_tfs.append(list(counts.values()))
-            else:
-                all_terms.append([])
-                all_tfs.append([])
+            kept_dls.append(len(toks))
+            counts = Counter(toks)  # C fast path
+            flat_terms.extend(counts.keys())
+            flat_tfs.extend(counts.values())
+            offsets.append(len(flat_terms))
         idx = np.flatnonzero(keep)
+        off = pa.array(np.asarray(offsets, dtype=np.int32))
+        terms_col = pa.ListArray.from_arrays(off, pa.array(flat_terms, type=pa.string()))
+        tfs_col = pa.ListArray.from_arrays(
+            off, pa.array(np.asarray(flat_tfs, dtype=np.int32))
+        )
         return pa.Table.from_arrays(
             [
                 batch["conv_id"].take(pa.array(idx)),
                 pc.cast(batch["turn_idx"].take(pa.array(idx)), pa.int32()),
-                pa.array(dls[idx], type=pa.int32()),
-                pa.array([all_terms[i] for i in idx], type=pa.list_(pa.string())),
-                pa.array([all_tfs[i] for i in idx], type=pa.list_(pa.int32())),
+                pa.array(np.asarray(kept_dls, dtype=np.int32)),
+                terms_col,
+                tfs_col,
             ],
             names=["conv_id", "turn_idx", "dl", "terms", "tfs"],
         )
@@ -130,21 +164,71 @@ def _block_num_rows(table: pa.Table) -> int:
 
 
 @ray.remote
+def _block_rows_and_bounds(table: pa.Table):
+    """(num_rows, internally_sorted, first_key, last_key) for one block —
+    the per-block half of the assume_sorted verification."""
+    n = table.num_rows
+    if n == 0:
+        return 0, True, None, None
+    conv = table["conv_id"]
+    turn = table["turn_idx"]
+    c0, c1 = conv.slice(0, n - 1), conv.slice(1)
+    t0, t1 = turn.slice(0, n - 1), turn.slice(1)
+    ok = bool(
+        pc.all(
+            pc.or_(
+                pc.less(c0, c1),
+                pc.and_(pc.equal(c0, c1), pc.less(t0, t1)),
+            )
+        ).as_py()
+        if n > 1
+        else True
+    )
+    first = (conv[0].as_py(), turn[0].as_py())
+    last = (conv[n - 1].as_py(), turn[n - 1].as_py())
+    return n, ok, first, last
+
+
+@ray.remote
 def _attach_ordinals(table: pa.Table, offset: int) -> pa.Table:
     ords = pa.array(offset + np.arange(table.num_rows, dtype=np.int64))
     return table.append_column("doc_ord", ords)
 
 
-def _assign_ordinals(sorted_ds):
-    """Deterministic global doc ordinals over a sorted, materialized dataset.
+class NotSortedError(ValueError):
+    pass
+
+
+def _assign_ordinals(ds, verify_sorted: bool = False):
+    """Deterministic global doc ordinals over a (sorted) materialized dataset.
 
     The driver holds one integer per block (the prefix sum), never row data —
     this is the scalable equivalent of a global row_number() without a second
     shuffle. Raw Ray tasks are used here because map_batches cannot see block
-    position (a documented Dataset-API gap)."""
-    mat = sorted_ds.materialize()
+    position (a documented Dataset-API gap).
+
+    With verify_sorted=True (the assume_sorted fast path), every block is
+    checked for internal (conv_id, turn_idx) order and the driver checks the
+    cross-block boundaries; NotSortedError triggers the caller's fallback to
+    a real sort."""
+    mat = ds.materialize()
     refs = mat.to_arrow_refs()
-    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    if verify_sorted:
+        info = ray.get([_block_rows_and_bounds.remote(r) for r in refs])
+        counts = [i[0] for i in info]
+        prev_last = None
+        for n, ok, first, last in info:
+            if n == 0:
+                continue
+            if not ok:
+                raise NotSortedError("block not internally sorted")
+            if prev_last is not None and first <= prev_last:
+                raise NotSortedError(
+                    f"block boundary out of order: {first} after {prev_last}"
+                )
+            prev_last = last
+    else:
+        counts = ray.get([_block_num_rows.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     new_refs = [
         _attach_ordinals.remote(r, int(off)) for r, off in zip(refs, offsets[:-1])
@@ -159,39 +243,36 @@ def _encode_term_run(
     block_size: int,
 ):
     """Encode one (segment, term) run of postings (already ord-sorted) into a
-    varint sub-block + per-block impact metadata."""
+    varint sub-block + per-block impact metadata.
+
+    One varint_encode call per stream; block byte offsets derived from the
+    per-value size array (vectorized), not from per-block encoding."""
     n = local_ords.size
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = local_ords[0]
     np.subtract(local_ords[1:], local_ords[:-1], out=gaps[1:])
+    # NOTE: only the run's first value is absolute; later blocks start with a
+    # relative gap — full-list decode is one cumsum, per-block decode shifts
+    # by the stored absolute blk_first.
     nblocks = (n + block_size - 1) // block_size
-    blk_first = np.empty(nblocks, dtype=np.int32)
-    blk_n = np.empty(nblocks, dtype=np.int32)
-    blk_max_tf = np.empty(nblocks, dtype=np.int32)
-    blk_min_dl = np.empty(nblocks, dtype=np.int32)
-    blk_doc_off = np.empty(nblocks, dtype=np.int32)
-    blk_tf_off = np.empty(nblocks, dtype=np.int32)
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    doc_pos = 0
-    tf_pos = 0
-    for b in range(nblocks):
-        lo, hi = b * block_size, min(n, (b + 1) * block_size)
-        dblob = varint_encode(gaps[lo:hi])
-        tblob = varint_encode(tfs[lo:hi])
-        blk_first[b] = local_ords[lo]
-        blk_n[b] = hi - lo
-        blk_max_tf[b] = tfs[lo:hi].max()
-        blk_min_dl[b] = dls[lo:hi].min()
-        blk_doc_off[b] = doc_pos
-        blk_tf_off[b] = tf_pos
-        doc_parts.append(dblob)
-        tf_parts.append(tblob)
-        doc_pos += len(dblob)
-        tf_pos += len(tblob)
+    starts = np.arange(0, n, block_size)
+    doc_sizes = varint_sizes(gaps)
+    tf64 = tfs.astype(np.uint64)
+    tf_sizes = varint_sizes(tf64)
+    doc_blob = varint_encode(gaps)
+    tf_blob = varint_encode(tf64)
+    doc_cum = np.concatenate([[0], np.cumsum(doc_sizes)])
+    tf_cum = np.concatenate([[0], np.cumsum(tf_sizes)])
+    ends = np.minimum(starts + block_size, n)
+    blk_first = local_ords[starts].astype(np.int32)
+    blk_n = (ends - starts).astype(np.int32)
+    blk_max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    blk_min_dl = np.minimum.reduceat(dls, starts).astype(np.int32)
+    blk_doc_off = doc_cum[starts].astype(np.int32)
+    blk_tf_off = tf_cum[starts].astype(np.int32)
     return (
-        b"".join(doc_parts),
-        b"".join(tf_parts),
+        doc_blob,
+        tf_blob,
         blk_first,
         blk_n,
         blk_max_tf,
@@ -317,121 +398,6 @@ def _empty_subblock_table() -> pa.Table:
     )
 
 
-def _varint_first_len(blob: bytes) -> int:
-    i = 0
-    while blob[i] & 0x80:
-        i += 1
-    return i + 1
-
-
-def merge_subblocks(group: pa.Table) -> pa.Table:
-    """Stitch the ord-disjoint sub-blocks of one (segment, term) into the
-    final posting list: byte concat, rewriting only the first doc-gap varint
-    of each non-initial sub-block to the delta from the previous sub-block's
-    last doc."""
-    order = np.argsort(group["first_local"].to_numpy(), kind="stable")
-    firsts = group["first_local"].to_numpy()[order]
-    doc_blobs = [group["doc_blob"][int(i)].as_py() for i in order]
-    tf_blobs = [group["tf_blob"][int(i)].as_py() for i in order]
-    blk_first = [group["blk_first"][int(i)].values.to_numpy() for i in order]
-    blk_n = [group["blk_n"][int(i)].values.to_numpy() for i in order]
-    blk_max_tf = [group["blk_max_tf"][int(i)].values.to_numpy() for i in order]
-    blk_min_dl = [group["blk_min_dl"][int(i)].values.to_numpy() for i in order]
-    blk_doc_off = [group["blk_doc_off"][int(i)].values.to_numpy() for i in order]
-    blk_tf_off = [group["blk_tf_off"][int(i)].values.to_numpy() for i in order]
-    dfs = group["df"].to_numpy()[order]
-
-    doc_parts: list[bytes] = [doc_blobs[0]]
-    doc_off_parts = [blk_doc_off[0]]
-    doc_pos = len(doc_blobs[0])
-    # last local ord of each sub-block = its last block's first + decoded tail…
-    # cheaper: last = first_local of NEXT is unrelated; recover last from
-    # blk_first/blk_n of the same sub-block: we stored gaps, so track via
-    # stored metadata: last block's docs count — we need actual last ord.
-    # We stored blk_first (absolute), so last ord of sub-block k is
-    # blk_first[-1] + (gaps within last block) … not stored. Instead we carry
-    # it exactly: re-derive from df and gap stream is wasteful, so sub-blocks
-    # store absolute first and we recompute last from the final block decode.
-    from .varint import varint_decode
-
-    def subblock_last(k: int) -> int:
-        # decode only the final block of sub-block k
-        off = int(blk_doc_off[k][-1])
-        gaps = varint_decode(doc_blobs[k][off:], int(blk_n[k][-1]))
-        base = int(blk_first[k][-1])
-        return base + int(gaps[1:].sum()) if gaps.size > 1 else base
-
-    prev_last = subblock_last(0)
-    for k in range(1, len(doc_blobs)):
-        blob = doc_blobs[k]
-        flen = _varint_first_len(blob)
-        new_first = varint_encode(
-            np.array([firsts[k] - prev_last], dtype=np.uint64)
-        )
-        delta = len(new_first) - flen
-        doc_parts.append(new_first)
-        doc_parts.append(blob[flen:])
-        offs = blk_doc_off[k].astype(np.int64) + doc_pos + delta
-        offs[0] = doc_pos  # first block starts at the rewritten varint
-        doc_off_parts.append(offs)
-        doc_pos += len(blob) + delta
-        prev_last = subblock_last(k)
-
-    tf_parts = []
-    tf_off_parts = []
-    tf_pos = 0
-    for k in range(len(tf_blobs)):
-        tf_parts.append(tf_blobs[k])
-        tf_off_parts.append(blk_tf_off[k].astype(np.int64) + tf_pos)
-        tf_pos += len(tf_blobs[k])
-
-    return pa.Table.from_arrays(
-        [
-            pa.array([int(group["segment_id"][0].as_py())], type=pa.int64()),
-            pa.array([group["term"][0].as_py()], type=pa.string()),
-            pa.array([int(dfs.sum())], type=pa.int64()),
-            pa.array([int(group["cf"].to_numpy().sum())], type=pa.int64()),
-            pa.array([int(group["max_tf"].to_numpy().max())], type=pa.int32()),
-            pa.array([b"".join(doc_parts)], type=pa.large_binary()),
-            pa.array([b"".join(tf_parts)], type=pa.large_binary()),
-            pa.array([np.concatenate(blk_first)], type=pa.list_(pa.int32())),
-            pa.array([np.concatenate(blk_n)], type=pa.list_(pa.int32())),
-            pa.array([np.concatenate(blk_max_tf)], type=pa.list_(pa.int32())),
-            pa.array([np.concatenate(blk_min_dl)], type=pa.list_(pa.int32())),
-            pa.array(
-                [np.concatenate(doc_off_parts).astype(np.int64)],
-                type=pa.list_(pa.int64()),
-            ),
-            pa.array(
-                [np.concatenate(tf_off_parts).astype(np.int64)],
-                type=pa.list_(pa.int64()),
-            ),
-        ],
-        names=[
-            "segment_id", "term", "df", "cf", "max_tf", "doc_blob", "tf_blob",
-            "blk_first", "blk_n", "blk_max_tf", "blk_min_dl",
-            "blk_doc_off", "blk_tf_off",
-        ],
-    )
-
-
-def _attach_global_stats(group: pa.Table) -> pa.Table:
-    """groupby(term).map_groups: compute global df/cf for one term and emit a
-    (segment_id, term, gdf, gcf) row per segment the term appears in."""
-    gdf = int(group["df"].to_numpy().sum())
-    gcf = int(group["cf"].to_numpy().sum())
-    n = group.num_rows
-    return pa.Table.from_arrays(
-        [
-            group["segment_id"],
-            group["term"],
-            pa.array([gdf] * n, type=pa.int64()),
-            pa.array([gcf] * n, type=pa.int64()),
-        ],
-        names=["segment_id", "term", "gdf", "gcf"],
-    )
-
-
 def _clean_for_build(index_dir: str, keep_segments: frozenset) -> None:
     """Remove index artifacts that the coming build will rewrite, keeping the
     partitions of resumable (finished, fingerprint-matching) segments.
@@ -466,12 +432,15 @@ def build_index(
     index_dir: str,
     config: IndexConfig | None = None,
     input_files: list[str] | None = None,
+    total_input: int | None = None,
 ) -> IndexManifest:
     """Build the inverted index from a transcripts Dataset into index_dir.
 
     Returns the global IndexManifest. With config.resume=True, segments whose
     manifests match the input/config fingerprint are skipped (their postings
     and docmap partitions are kept)."""
+    import time as _time
+
     config = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = input_fingerprint(
@@ -484,17 +453,52 @@ def build_index(
     )
     _clean_for_build(index_dir, skip)
 
-    total_input = transcripts.count()
+    stage_secs: dict[str, float] = {}
+    _t = _time.perf_counter()
 
-    tokenized = transcripts.map_batches(
-        TokenizeDocs,
-        fn_constructor_args=(config.analyzer,),
-        batch_format="pyarrow",
-        concurrency=(1, 64),
-        zero_copy_batch=True,
-    )
-    sorted_docs = tokenized.sort(["conv_id", "turn_idx"])
-    with_ords, indexed_count = _assign_ordinals(sorted_docs)
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        stage_secs[stage] = round(now - _t, 3)
+        _t = now
+
+    if total_input is None:
+        # One extra streaming pass just to count input rows (counter parity
+        # with IndexCollection.java:880-890). Callers that know the input
+        # cardinality (e.g. from parquet metadata) should pass total_input.
+        total_input = transcripts.count()
+
+    # Block order IS doc order for the assume_sorted path. A Dataset snapshots
+    # its DataContext at creation, so we must flip preserve_order on the
+    # CALLER-created dataset's captured context (mutating the global context
+    # here would silently not apply — and out-of-order blocks would demote
+    # every build to the sort fallback).
+    ds_ctx = transcripts.context
+    prev_preserve = ds_ctx.execution_options.preserve_order
+    ds_ctx.execution_options.preserve_order = True
+    try:
+        tokenized = transcripts.map_batches(
+            TokenizeDocs(config.analyzer),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if config.assume_sorted:
+            try:
+                with_ords, indexed_count = _assign_ordinals(
+                    tokenized, verify_sorted=True
+                )
+            except NotSortedError:
+                # input wasn't ordered after all — fall back to the sort
+                with_ords, indexed_count = _assign_ordinals(
+                    tokenized.sort(["conv_id", "turn_idx"])
+                )
+        else:
+            with_ords, indexed_count = _assign_ordinals(
+                tokenized.sort(["conv_id", "turn_idx"])
+            )
+    finally:
+        ds_ctx.execution_options.preserve_order = prev_preserve
+    _mark("tokenize_sort_ordinals")
 
     # --- docmap (doc_ord → identity + doc length), partitioned by segment ---
     seg_shift = config.seg_shift
@@ -513,9 +517,10 @@ def build_index(
             names=["doc_ord", "conv_id", "turn_idx", "dl", "segment_id"],
         )
 
-    docmap = with_ords.map_batches(
-        project_docmap, batch_format="pyarrow"
-    ).materialize()  # skinny (one row per doc); reused for write + stats
+    # with_ords is backed by already-computed object refs, so consuming the
+    # docmap projection twice (write + stats) just re-runs a trivial map —
+    # no full materialization needed
+    docmap = with_ords.map_batches(project_docmap, batch_format="pyarrow")
     new_docmap = docmap
     if skip:
 
@@ -527,48 +532,139 @@ def build_index(
     new_docmap.write_parquet(
         os.path.join(index_dir, "docmap"), partition_cols=["segment_id"]
     )
+    _mark("docmap_write")
 
-    # --- postings: explode+encode sub-blocks, stitch per (segment, term) ---
+    # --- postings: explode + encode sub-block runs; sub-block rows ARE the
+    # on-disk format. Each row stores its absolute first ordinal, so the
+    # reader concatenates a term's rows without any re-encoding — no
+    # per-(term) merge stage exists at all (a per-group Python merge was
+    # measured at ~8ms/group and scales with vocab x segments; a sort of the
+    # compressed rows is vectorized and scales with bytes).
     encoder = make_subblock_encoder(seg_shift, config.block_size, skip)
-    subblocks = with_ords.map_batches(encoder, batch_format="pyarrow")
-    merged = subblocks.groupby(["segment_id", "term"]).map_groups(
-        merge_subblocks, batch_format="pyarrow"
-    ).materialize()  # the compressed index — far smaller than the corpus;
-    # materializing lets us write it AND derive stats in one execution
-    merged.write_parquet(
+    # batch_size bundles consecutive blocks into one encode task: longer
+    # per-term runs => fewer sub-block rows
+    subblocks = with_ords.map_batches(
+        encoder,
+        batch_format="pyarrow",
+        batch_size=config.encode_batch_size,
+    )
+    # stream straight to partitioned parquet: no materialize (object-store
+    # pressure at scale) and no locality sort (readers order a partition's
+    # rows at load; the shuffle would move the whole compressed index)
+    subblocks.write_parquet(
         os.path.join(index_dir, "postings"), partition_cols=["segment_id"]
     )
+    _mark("encode_write")
 
-    # --- global term stats: one skinny groupby(term) shuffle ---
-    stats = (
-        merged.select_columns(["segment_id", "term", "df", "cf"])
-        .groupby("term")
-        .map_groups(_attach_global_stats, batch_format="pyarrow")
-    )
-    if skip:
-        # resumed build: stats above only cover newly built segments; fold in
-        # the kept segments' postings metadata (skinny read, column-pruned)
-        kept = ray.data.read_parquet(
-            os.path.join(index_dir, "postings"),
-            columns=["term", "df", "cf", "segment_id"],
+    # --- term stats: ONE sort-based groupby(term) for global df/cf, then a
+    # broadcast map-side join back onto the per-segment rows (ray.put once,
+    # read per task). Dataset.join (hash-shuffle aggregator actors) only as
+    # the fallback when the vocabulary exceeds the broadcast threshold.
+    from ray.data.aggregate import Sum
+
+    # stats come from a column-pruned read-back of what was just written —
+    # only (term, df, cf) bytes leave disk, and on resume this naturally
+    # covers kept segments too
+    skinny = ray.data.read_parquet(
+        os.path.join(index_dir, "postings"),
+        columns=["term", "df", "cf", "segment_id"],
+    ).materialize()
+    global_stats = (
+        skinny.groupby("term", num_partitions=config.shuffle_partitions)
+        .aggregate(Sum("df"), Sum("cf"))
+        .map_batches(
+            lambda b: b.rename_columns(["term", "gdf", "gcf"]),
+            batch_format="pyarrow",
         )
-        stats = (
-            kept.groupby("term")
-            .map_groups(_attach_global_stats, batch_format="pyarrow")
+        .materialize()
+    )
+    vocab_size = global_stats.count()
+    if vocab_size <= BROADCAST_VOCAB_LIMIT:
+        gs = global_stats.take_all()
+        stats_ref = ray.put(
+            {r["term"]: (int(r["gdf"]), int(r["gcf"])) for r in gs}
+        )
+
+        def attach_stats(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(stats_ref)
+            terms = batch["term"].to_pylist()
+            gdf = np.empty(len(terms), dtype=np.int64)
+            gcf = np.empty(len(terms), dtype=np.int64)
+            for i, t in enumerate(terms):
+                gdf[i], gcf[i] = lookup[t]
+            return pa.Table.from_arrays(
+                [batch["segment_id"], batch["term"], pa.array(gdf), pa.array(gcf)],
+                names=["segment_id", "term", "gdf", "gcf"],
+            )
+
+        stats = skinny.select_columns(["segment_id", "term"]).map_batches(
+            attach_stats, batch_format="pyarrow"
+        )
+    else:
+        # huge-vocab path: distributed hash join
+        avail_cpus = int(ray.cluster_resources().get("CPU", 8))
+        nparts = min(config.shuffle_partitions or 32, max(2, avail_cpus // 2))
+        stats = skinny.select_columns(["segment_id", "term"]).join(
+            global_stats, "inner", nparts, on=("term",)
         )
     stats.write_parquet(
         os.path.join(index_dir, "termstats"), partition_cols=["segment_id"]
     )
+    _mark("termstats")
 
-    # --- collection stats + manifests (driver holds one row per segment) ---
-    from ray.data.aggregate import Count, Sum
+    # --- per-segment doc stats: narrow map partials + driver combine (one
+    # dict entry per segment on the driver — no shuffle) ---
+    def seg_partials(batch: pa.Table):
+        segs = batch["segment_id"].to_numpy()
+        dls = batch["dl"].to_numpy()
+        uniq = np.unique(segs)
+        return pa.table(
+            {
+                "segment_id": pa.array(uniq),
+                "cnt": pa.array(
+                    [int((segs == s).sum()) for s in uniq], type=pa.int64()
+                ),
+                "sdl": pa.array(
+                    [int(dls[segs == s].sum()) for s in uniq], type=pa.int64()
+                ),
+            }
+        )
 
-    per_seg = docmap.groupby("segment_id").aggregate(Count(), Sum("dl"))
-    seg_rows = per_seg.take_all()
-    term_counts = {
-        int(r["segment_id"]): int(r["count()"])
-        for r in merged.groupby("segment_id").aggregate(Count()).take_all()
-    }
+    seg_counts: dict[int, int] = {}
+    seg_sum_dl: dict[int, int] = {}
+    for r in docmap.map_batches(seg_partials, batch_format="pyarrow").take_all():
+        sid = int(r["segment_id"])
+        seg_counts[sid] = seg_counts.get(sid, 0) + int(r["cnt"])
+        seg_sum_dl[sid] = seg_sum_dl.get(sid, 0) + int(r["sdl"])
+    seg_rows = [
+        {"segment_id": sid, "count()": seg_counts[sid], "sum(dl)": seg_sum_dl[sid]}
+        for sid in sorted(seg_counts)
+    ]
+    _mark("collection_stats")
+    # posting-run rows per segment (manifest metadata; narrow partial sums)
+    term_counts: dict[int, int] = {}
+    for r in (
+        skinny.select_columns(["segment_id"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "segment_id": pa.array(
+                        np.unique(b["segment_id"].to_numpy())
+                    ),
+                    "cnt": pa.array(
+                        np.unique(
+                            b["segment_id"].to_numpy(), return_counts=True
+                        )[1],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    ):
+        sid = int(r["segment_id"])
+        term_counts[sid] = term_counts.get(sid, 0) + int(r["cnt"])
 
     if skip:
         # preserve num_terms recorded by the original build of kept segments
@@ -619,6 +715,7 @@ def build_index(
             "empty": int(total_input) - indexed_count,
             "skipped": 0,
             "errors": 0,
+            "stage_secs": stage_secs,
         },
         segments=segments,
     )

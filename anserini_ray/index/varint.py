@@ -18,6 +18,17 @@ import numpy as np
 _MAX_BYTES = 5
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte counts (for block-offset computation)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """Encode a 1-D array of non-negative ints to an LEB128 byte stream."""
     v = np.asarray(values, dtype=np.uint64)

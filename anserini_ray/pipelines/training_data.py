@@ -1,0 +1,252 @@
+"""Training-data-pipeline queries over the driver tables (documents,
+embeddings, events) with DuckDB oracle SQL where the semantics are
+SQL-expressible."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..stages import ann as A
+from ..stages import dedup as D
+from ..stages import text_stats as T
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns
+    )
+
+
+def _embeddings(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=columns
+    )
+
+
+# ----------------------------------------------------------- exact dedup
+def exact_dedup(sf_dir: str):
+    return D.exact_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), text_col="text", id_col="doc_id"
+    )
+
+
+EXACT_DEDUP_SQL = """
+    SELECT min(doc_id) AS rep_doc_id, count(*) AS dup_count
+    FROM documents GROUP BY text
+"""
+
+
+# --------------------------------------------------------- quality stats
+def quality_stats(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.quality_batch, batch_format="pyarrow"
+    )
+    return ds.drop_columns(["text"])
+
+
+QUALITY_STATS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq_tokens,
+           CASE WHEN len(ts) = 0 THEN 0.0
+                ELSE list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts)
+           END AS mean_token_len,
+           CASE WHEN len(ts) = 0 THEN 0.0
+                ELSE len(list_filter(ts,
+                     t -> t IN ('the','a','an','of','to','in','on','is','are','and')
+                     )) * 1.0 / len(ts)
+           END AS stop_ratio
+    FROM toks
+"""
+
+
+# ----------------------------------------------------------- token counts
+def token_counts(sf_dir: str):
+    """Whitespace token counts (SQL-checkable)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ws = pa.array(
+            [len((t or "").split()) for t in batch["text"].to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], ws], names=["doc_id", "ws_tokens"]
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+TOKEN_COUNTS_SQL = """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS ws_tokens
+    FROM documents
+"""
+
+
+def token_counts_analyzed(sf_dir: str):
+    """Full-analyzer token counts (engine-internal; rows-only check)."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.TokenCounter,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return ds.drop_columns(["text"])
+
+
+# ------------------------------------------------------------- language id
+def lang_id(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.LanguageId(), batch_format="pyarrow"
+    )
+    return ds.drop_columns(["text"])
+
+
+def fingerprints(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.Fingerprint(), batch_format="pyarrow"
+    )
+    return ds.drop_columns(["text"])
+
+
+# ------------------------------------------------------------ near-dup ops
+def minhash_dedup(sf_dir: str):
+    return D.minhash_lsh_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.5,
+        verify=True,
+    )
+
+
+def simhash_groups(sf_dir: str):
+    g = D.simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+    def nonempty(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(pc.list_value_length(batch["doc_ids"]), 0)
+        return batch.filter(mask)
+
+    return g.map_batches(nonempty, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- ANN
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = t["vec_id"].to_numpy()
+    rows = []
+    for q in ANN_QUERY_IDS:
+        i = int(np.flatnonzero(vid == q)[0])
+        rows.append(np.asarray(t["embedding"][i].as_py(), dtype=np.float64))
+    return np.stack(rows)
+
+
+def ann_cosine_topk(sf_dir: str):
+    return A.brute_force_cosine_topk(
+        _embeddings(sf_dir, ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=ANN_K,
+    )
+
+
+ANN_COSINE_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id IN {ANN_QUERY_IDS}
+    ),
+    sims AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4
+             ) AS cosine
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+               AS rank
+      FROM sims
+    )
+    SELECT CAST(qid AS INTEGER) AS query_idx, CAST(rank AS INTEGER) AS rank,
+           vec_id, cosine
+    FROM ranked WHERE rank <= {ANN_K}
+    ORDER BY query_idx, rank
+"""
+
+
+def ann_lsh_topk(sf_dir: str):
+    return A.lsh_bucket_topk(
+        _embeddings(sf_dir, ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=ANN_K,
+    )
+
+
+def embedding_near_dup(sf_dir: str):
+    return A.embedding_cosine_near_dup(
+        _embeddings(sf_dir, ["vec_id", "embedding"]), threshold=0.5
+    )
+
+
+# ------------------------------------------------- events windowed aggregate
+def events_windowed(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value) (the
+    streaming-window operator expressed batch-side; reference has no
+    streaming — SURVEY §1.1)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def window_key(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.Table.from_arrays(
+            [w, batch["event_type"], batch["value"]],
+            names=["window_start", "event_type", "value"],
+        )
+
+    agg = (
+        ds.map_batches(window_key, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(), Sum("value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = batch.rename_columns(
+            ["window_start", "event_type", "n_events", "sum_value"]
+        )
+        # float64 summation order differs between engines; round for the
+        # order-insensitive value-hash comparison. numpy round canonicalizes
+        # to the same double as DuckDB's round (pyarrow's pc.round does NOT —
+        # it leaves near-boundary doubles untouched)
+        rounded = pa.array(np.round(out["sum_value"].to_numpy(), 4))
+        return out.set_column(3, "sum_value", rounded)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_WINDOWED_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

@@ -123,21 +123,20 @@ class LocalSearcher:
         dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
         info = []
         for term, cnt in clauses:
-            row = reader.term_row(term)
-            if row is None:
+            if not reader.has_term(term):
                 continue
             gdf = reader.global_df.get(term, 0)
             if gdf <= 0:
                 continue
             w = F(cnt) * idf(gdf, N)
-            max_tf = int(reader._max_tf[row])
+            max_tf = reader.max_tf(term)
             # upper bound: max tf, minimal dl=0 → tf/(tf + k1(1-b)) * w
             ub = float(
                 params.score_postings(
                     w, np.array([max_tf]), np.zeros(1, dtype=np.float32)
                 )[0]
             )
-            info.append((term, w, ub, int(reader._df[row])))
+            info.append((term, w, ub, reader.df(term)))
         if not info:
             return []
         # essential = large upper bounds first; keep until the remaining
@@ -176,7 +175,8 @@ class LocalSearcher:
             if not (rest_ub < kth):
                 return self._segment_topk(reader, clauses, k)
             for term, w, ub, df in rest:
-                bf, bn, bmt, bmd, bdo, bto = reader.block_meta(term)
+                meta = reader.block_meta(term)
+                bf = meta[0]
                 # decode only blocks whose ord range contains a candidate
                 lasts = np.empty(bf.size, dtype=np.int64)
                 lasts[:-1] = bf[1:] - 1
@@ -186,7 +186,7 @@ class LocalSearcher:
                 )
                 if chosen.size == 0:
                     continue
-                ords, tfs = reader.decode_blocks(term, chosen)
+                ords, tfs = reader.decode_blocks(term, chosen, meta)
                 term_data[term] = (ords, tfs, w)
                 mask = touched[ords]
                 o2, t2 = ords[mask], tfs[mask]

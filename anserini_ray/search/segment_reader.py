@@ -4,13 +4,14 @@ Reference analog: the per-thread `IndexSearcher` over an open
 `IndexReader` (`J/search/SearchCollection.java:138-158, 221-225`); term →
 postings lookup is `J/index/IndexReaderUtils.java:303-317`. One
 SegmentReader is built ONCE per searcher actor (load in `__init__`, never per
-batch) and holds:
+batch).
 
-- term dict: term → row index into posting arrays (df, cf, blobs, per-block
-  impact metadata for block-max pruning);
-- doc map: local-ord-indexed conv_id / turn_idx / dl arrays;
-- global term stats (df/cf across all segments) for idf;
-- collection stats (N, avgdl) from the index manifest.
+On-disk posting format: each parquet row is one varint-encoded SUB-BLOCK RUN
+of a (segment, term) posting list — a doc-ord-contiguous range produced by
+one encode task. Runs store their absolute first local ordinal, so a term's
+full posting list is the ordered concatenation of its runs with no
+re-encoding; the reader presents a merged per-term view (df/cf/max_tf,
+postings, per-block impact metadata for block-max pruning).
 """
 
 from __future__ import annotations
@@ -36,10 +37,15 @@ class SegmentReader:
         post = pq.read_table(
             os.path.join(index_dir, "postings", f"segment_id={segment_id}")
         )
-        self._terms = post["term"].combine_chunks()
+        # order rows by (term, first_local) so a term's runs are adjacent
+        order = pc.sort_indices(
+            post, sort_keys=[("term", "ascending"), ("first_local", "ascending")]
+        )
+        post = post.take(order)
+        self._rows = post
         self._df = post["df"].to_numpy()
         self._cf = post["cf"].to_numpy()
-        self._max_tf = post["max_tf"].to_numpy()
+        self._row_max_tf = post["max_tf"].to_numpy()
         self._doc_blob = post["doc_blob"].combine_chunks()
         self._tf_blob = post["tf_blob"].combine_chunks()
         self._blk_first = post["blk_first"].combine_chunks()
@@ -48,16 +54,24 @@ class SegmentReader:
         self._blk_min_dl = post["blk_min_dl"].combine_chunks()
         self._blk_doc_off = post["blk_doc_off"].combine_chunks()
         self._blk_tf_off = post["blk_tf_off"].combine_chunks()
-        self._term_idx = {
-            t: i for i, t in enumerate(self._terms.to_pylist())
-        }
+        # term -> contiguous row range [lo, hi)
+        terms = post["term"].to_pylist()
+        self._term_range: dict[str, tuple[int, int]] = {}
+        i = 0
+        n = len(terms)
+        while i < n:
+            j = i + 1
+            while j < n and terms[j] == terms[i]:
+                j += 1
+            self._term_range[terms[i]] = (i, j)
+            i = j
 
         dm = pq.read_table(
             os.path.join(index_dir, "docmap", f"segment_id={segment_id}"),
             columns=["doc_ord", "conv_id", "turn_idx", "dl"],
         )
-        order = pc.sort_indices(dm["doc_ord"])
-        dm = dm.take(order)
+        dorder = pc.sort_indices(dm["doc_ord"])
+        dm = dm.take(dorder)
         self.doc_count = dm.num_rows
         self._conv_id = dm["conv_id"].combine_chunks()
         self._turn_idx = dm["turn_idx"].to_numpy()
@@ -79,52 +93,91 @@ class SegmentReader:
 
     # ------------------------------------------------------------------ api
     def has_term(self, term: str) -> bool:
-        return term in self._term_idx
+        return term in self._term_range
 
-    def term_row(self, term: str) -> int | None:
-        return self._term_idx.get(term)
+    def df(self, term: str) -> int:
+        r = self._term_range.get(term)
+        return int(self._df[r[0] : r[1]].sum()) if r else 0
+
+    def cf(self, term: str) -> int:
+        r = self._term_range.get(term)
+        return int(self._cf[r[0] : r[1]].sum()) if r else 0
+
+    def max_tf(self, term: str) -> int:
+        r = self._term_range.get(term)
+        return int(self._row_max_tf[r[0] : r[1]].max()) if r else 0
+
+    def iter_terms(self):
+        """(term, df, cf) over this segment's dictionary (merged runs)."""
+        for term, (lo, hi) in self._term_range.items():
+            yield term, int(self._df[lo:hi].sum()), int(self._cf[lo:hi].sum())
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Decode full posting list -> (local doc ords int64, tfs int32)."""
-        i = self._term_idx.get(term)
-        if i is None:
+        r = self._term_range.get(term)
+        if r is None:
             return None
+        lo, hi = r
+        if hi - lo == 1:
+            return self._decode_row(lo)
+        parts = [self._decode_row(i) for i in range(lo, hi)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def _decode_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         df = int(self._df[i])
-        doc_blob = self._doc_blob[i].as_py()
-        tf_blob = self._tf_blob[i].as_py()
-        gaps = varint_decode(doc_blob, df)
+        gaps = varint_decode(self._doc_blob[i].as_py(), df)
         ords = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-        tfs = varint_decode(tf_blob, df).astype(np.int32)
+        tfs = varint_decode(self._tf_blob[i].as_py(), df).astype(np.int32)
         return ords, tfs
 
     def block_meta(self, term: str):
-        """Per-block impact metadata for block-max pruning:
-        (first, n, max_tf, min_dl, doc_off, tf_off) arrays."""
-        i = self._term_idx.get(term)
-        if i is None:
+        """Merged per-block impact metadata across the term's runs:
+        (first, n, max_tf, min_dl, row_idx, local_block_idx) arrays, ordered
+        by first ordinal."""
+        r = self._term_range.get(term)
+        if r is None:
             return None
+        lo, hi = r
+        firsts, ns, mts, mds, rows_, lblk = [], [], [], [], [], []
+        for i in range(lo, hi):
+            bf = self._blk_first[i].values.to_numpy()
+            firsts.append(bf)
+            ns.append(self._blk_n[i].values.to_numpy())
+            mts.append(self._blk_max_tf[i].values.to_numpy())
+            mds.append(self._blk_min_dl[i].values.to_numpy())
+            rows_.append(np.full(bf.size, i, dtype=np.int64))
+            lblk.append(np.arange(bf.size, dtype=np.int64))
         return (
-            self._blk_first[i].values.to_numpy(),
-            self._blk_n[i].values.to_numpy(),
-            self._blk_max_tf[i].values.to_numpy(),
-            self._blk_min_dl[i].values.to_numpy(),
-            self._blk_doc_off[i].values.to_numpy(),
-            self._blk_tf_off[i].values.to_numpy(),
+            np.concatenate(firsts),
+            np.concatenate(ns),
+            np.concatenate(mts),
+            np.concatenate(mds),
+            np.concatenate(rows_),
+            np.concatenate(lblk),
         )
 
-    def decode_blocks(self, term: str, block_ids: np.ndarray):
-        """Decode only the selected impact blocks of a posting list."""
-        i = self._term_idx[term]
-        doc_blob = self._doc_blob[i].as_py()
-        tf_blob = self._tf_blob[i].as_py()
-        bf, bn, _, _, bdo, bto = self.block_meta(term)
+    def decode_blocks(
+        self, term: str, chosen: np.ndarray, meta=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode only the selected merged-block indices of a posting list."""
+        if meta is None:
+            meta = self.block_meta(term)
+        bf, bn, _, _, brow, blblk = meta
         ords_parts, tf_parts = [], []
-        nblocks = bf.size
-        for b in block_ids:
-            d_lo = int(bdo[b])
-            d_hi = int(bdo[b + 1]) if b + 1 < nblocks else len(doc_blob)
-            t_lo = int(bto[b])
-            t_hi = int(bto[b + 1]) if b + 1 < nblocks else len(tf_blob)
+        for b in chosen:
+            i = int(brow[b])
+            k = int(blblk[b])
+            doc_blob = self._doc_blob[i].as_py()
+            tf_blob = self._tf_blob[i].as_py()
+            bdo = self._blk_doc_off[i].values.to_numpy()
+            bto = self._blk_tf_off[i].values.to_numpy()
+            d_lo = int(bdo[k])
+            d_hi = int(bdo[k + 1]) if k + 1 < bdo.size else len(doc_blob)
+            t_lo = int(bto[k])
+            t_hi = int(bto[k + 1]) if k + 1 < bto.size else len(tf_blob)
             n = int(bn[b])
             gaps = varint_decode(doc_blob[d_lo:d_hi], n)
             vals = np.cumsum(gaps, dtype=np.uint64)

@@ -1,0 +1,265 @@
+"""Similarity search over embedding columns (list<float>).
+
+Reference analog: the `J/ann/` subsystem encodes dense vectors as fake-word /
+LSH tokens into the same inverted index (`ApproximateNearestNeighborSearch.
+java`); here we implement the Ray-Data-native equivalents directly over the
+`embeddings` table:
+
+- brute_force_cosine_topk  exact top-k: broadcast the (small) query matrix
+                           once via ray.put, numpy matmul per batch, per-
+                           batch partial top-k, final merge of k*num_batches
+                           partials (never materializes full scores)
+- lsh_bucket_topk          scale path: signed-random-projection LSH buckets
+                           (the lexlsh/fakewords analog) — candidates share
+                           a bucket with the query; exact rerank inside
+                           buckets only
+- embedding_cosine_near_dup  pairs of near-identical vectors via LSH
+                           bucketing + exact verify
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col].combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy()
+    dim = offs[1] - offs[0]
+    return flat.reshape(len(batch), dim)
+
+
+def brute_force_cosine_topk(
+    ds,
+    query_vectors: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int | None = 4,
+):
+    """Exact cosine top-k of each query vector against the dataset.
+
+    Returns a pa.Table (query_idx, rank, vec_id, cosine). Deterministic
+    order: (rounded cosine desc, vec_id asc) when round_decimals is set."""
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    q_ref = ray.put(q)
+    nq = q.shape[0]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ qm.T  # (batch, nq)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            for t in top:
+                out_q.append(qi)
+                out_id.append(int(ids[t]))
+                out_s.append(float(col[t]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    out_rows = []
+    for qi in range(nq):
+        cands = [
+            (r[id_col], r["cosine"]) for r in partials if r["query_idx"] == qi
+        ]
+        if round_decimals is not None:
+            cands = [(i, round(c, round_decimals)) for i, c in cands]
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (vid, c) in enumerate(cands[:k]):
+            out_rows.append((qi, rank + 1, vid, c))
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            id_col: pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cosine": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
+def _srp_planes(dim: int, n_bits: int, seed: int = 97):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+def _srp_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) > 0
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    return (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def lsh_bucket_topk(
+    ds,
+    query_vectors: np.ndarray,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate cosine top-k: signed-random-projection bucketing.
+
+    Vectors land in n_tables buckets each; only vectors sharing a bucket
+    with a query are exactly reranked. The scale path: each map_batches task
+    emits only (bucket-hit) candidates, so the rerank set is a tiny fraction
+    of the corpus."""
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    dim = q.shape[1]
+    planes = [_srp_planes(dim, n_bits, seed=97 + t) for t in range(n_tables)]
+    q_codes = [_srp_codes(q, p) for p in planes]  # per table: (nq,)
+    q_ref = ray.put((q, planes, q_codes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qm, pls, qcs = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy()
+        hit = np.zeros((len(ids), qm.shape[0]), dtype=bool)
+        for pl, qc in zip(pls, qcs):
+            codes = _srp_codes(m, pl)  # (batch,)
+            hit |= codes[:, None] == qc[None, :]
+        out_q, out_id, out_s = [], [], []
+        sims = m @ qm.T
+        for qi in range(qm.shape[0]):
+            rows = np.flatnonzero(hit[:, qi])
+            for r in rows:
+                out_q.append(qi)
+                out_id.append(int(ids[r]))
+                out_s.append(float(sims[r, qi]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    out_rows = []
+    for qi in range(q.shape[0]):
+        cands = sorted(
+            ((r[id_col], r["cosine"]) for r in partials if r["query_idx"] == qi),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for rank, (vid, c) in enumerate(cands[:k]):
+            out_rows.append((qi, rank + 1, vid, c))
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            id_col: pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cosine": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
+def embedding_cosine_near_dup(
+    ds,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Near-duplicate vector pairs: LSH bucket groupby → exact cosine verify
+    within buckets (vectors shuffle only bucket keys + ids; exact verify
+    re-reads candidate vectors via broadcast id-set filter)."""
+    probe = ds.take(1)
+    dim = len(probe[0][vec_col])
+    planes = [_srp_planes(dim, n_bits, seed=211 + t) for t in range(n_tables)]
+    p_ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pls = ray.get(p_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy()
+        out_t, out_c, out_id = [], [], []
+        for t, pl in enumerate(pls):
+            codes = _srp_codes(m, pl)
+            out_t.extend([t] * len(ids))
+            out_c.extend(codes.tolist())
+            out_id.extend(ids.tolist())
+        return pa.table(
+            {
+                "table_id": pa.array(out_t, type=pa.int32()),
+                "code": pa.array(out_c, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+            }
+        )
+
+    def groups(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"ids": pa.array([], type=pa.list_(pa.int64()))})
+        return pa.table(
+            {"ids": pa.array([sorted(group[id_col].to_pylist())])}
+        )
+
+    g = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["table_id", "code"])
+        .map_groups(groups, batch_format="pyarrow")
+        .take_all()
+    )
+    pairs: set[tuple[int, int]] = set()
+    for r in g:
+        ids = r["ids"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    if not pairs:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    cand_ids = sorted({x for p in pairs for x in p})
+    id_set = set(cand_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(i) in id_set for i in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    rows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    vecs = {
+        int(r[id_col]): _normalize(
+            np.asarray(r[vec_col], dtype=np.float64)[None, :]
+        )[0]
+        for r in rows
+    }
+    out_a, out_b, out_c = [], [], []
+    for a_, b_ in sorted(pairs):
+        c = float(vecs[a_] @ vecs[b_])
+        if c >= threshold:
+            out_a.append(a_)
+            out_b.append(b_)
+            out_c.append(c)
+    return pa.table(
+        {
+            "vec_a": pa.array(out_a, type=pa.int64()),
+            "vec_b": pa.array(out_b, type=pa.int64()),
+            "cosine": pa.array(out_c, type=pa.float64()),
+        }
+    )

@@ -1,0 +1,155 @@
+"""Text-analysis stages for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All are stateless/stateful map_batches transforms over the documents or
+transcripts tables; quality/token metrics are defined to be SQL-mirrorable
+for the driver oracle where feasible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------- language ID
+# Tiny deterministic n-gram/stopword-profile classifier (public heuristic
+# technique; profiles hand-rolled, no external data). Scores = weighted
+# count of language-marker hits per token.
+_LANG_MARKERS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "with", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "für"},
+    "es": {"el", "la", "los", "las", "es", "de", "que", "y", "en", "por"},
+    "fr": {"le", "la", "les", "est", "et", "des", "une", "que", "pour", "dans"},
+    "zh": set(),  # handled via CJK character ratio
+}
+
+
+def detect_language(text: str) -> str:
+    """Deterministic heuristic language ID. Defaults to 'en' on ties/unknown."""
+    if not text:
+        return "und"
+    n_cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if n_cjk > 0.2 * len(text):
+        return "zh"
+    toks = text.lower().split()
+    if not toks:
+        return "und"
+    best, best_score = "en", -1.0
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        score = sum(1 for t in toks if t in markers) / len(toks)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "en"
+
+
+class LanguageId:
+    """map_batches stage (stateless, vectorized per batch)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = pa.array(
+            [detect_language(t or "") for t in batch[self.text_col].to_pylist()]
+        )
+        return batch.append_column("detected_lang", langs)
+
+
+# ---------------------------------------------------------- quality scores
+
+_STOP10 = frozenset("the a an of to in on is are and".split())
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality features (SQL-mirrorable: pure counts/ratios):
+    n_chars, n_tokens, n_uniq_tokens, mean_token_len, stop_ratio."""
+    texts = batch[text_col].to_pylist()
+    n_chars = np.empty(len(texts), dtype=np.int64)
+    n_tokens = np.empty(len(texts), dtype=np.int64)
+    n_uniq = np.empty(len(texts), dtype=np.int64)
+    mean_len = np.empty(len(texts), dtype=np.float64)
+    stop_ratio = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = t.lower().split()
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        n_uniq[i] = len(set(toks))
+        mean_len[i] = (
+            sum(len(x) for x in toks) / len(toks) if toks else 0.0
+        )
+        stop_ratio[i] = (
+            sum(1 for x in toks if x in _STOP10) / len(toks) if toks else 0.0
+        )
+    cols = {
+        "n_chars": pa.array(n_chars),
+        "n_tokens": pa.array(n_tokens),
+        "n_uniq_tokens": pa.array(n_uniq),
+        "mean_token_len": pa.array(mean_len),
+        "stop_ratio": pa.array(stop_ratio),
+    }
+    out = batch
+    for name, arr in cols.items():
+        out = out.append_column(name, arr)
+    return out
+
+
+# ----------------------------------------------------------- token counts
+
+class TokenCounter:
+    """Analyzer-equivalent token counting as an actor-pool stage (the
+    analyzer is compiled once per actor). Emits doc token counts under both
+    the whitespace tokenizer and the full analysis chain."""
+
+    def __init__(self, analyzer_config: dict | None = None, text_col: str = "text"):
+        from ..analysis import make_analyzer
+
+        self.analyzer = make_analyzer(analyzer_config)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ws = np.fromiter(
+            (len((t or "").split()) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        analyzed = np.fromiter(
+            (len(self.analyzer.analyze(t or "")) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return batch.append_column("ws_tokens", pa.array(ws)).append_column(
+            "analyzed_tokens", pa.array(analyzed)
+        )
+
+
+# -------------------------------------------------------- fingerprinting
+
+_FP_BASE = np.uint64(1099511628211)   # FNV-ish rolling base
+_FP_INIT = np.uint64(14695981039346656037)
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Deterministic 64-bit rolling (FNV-1a) fingerprint of the text."""
+    h = _FP_INIT
+    for b in text.encode("utf-8"):
+        h = (h ^ np.uint64(b)) * _FP_BASE
+    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+class Fingerprint:
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # uint64 overflow is the algorithm
+            fps = pa.array(
+                [rolling_fingerprint(t or "") for t in batch[self.text_col].to_pylist()],
+                type=pa.int64(),
+            )
+        return batch.append_column("fingerprint", fps)

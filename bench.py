@@ -10,9 +10,11 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
   - bm25_topk_simple : the SQL-checkable distributed batch-BM25 pipeline
   - term_df_cf       : full-vocabulary df/cf aggregate
 
-`--scaling` runs the build+query job twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
-scaling efficiency (sandbox evidence for the N→4N cluster criterion).
+`--scaling` runs the index build twice in FRESH subprocesses at num_cpus=8
+and num_cpus=32 on the same input and reports both throughputs + scaling
+efficiency (sandbox evidence for the N→4N cluster criterion). It uses a
+larger corpus ($GRAFT_SCALING_TURNS, default 32M turns) so per-stage fixed
+latencies amortize — the same reason a real 100TB run amortizes them.
 """
 
 from __future__ import annotations
@@ -61,6 +63,13 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     import ray.data
 
+    # Warm the cluster before timing: spawn workers + import the library in
+    # them (session startup is not pipeline throughput).
+    warm = ray.data.read_parquet(corpus_files[0], columns=["conv_id", "turn_idx", "text"]).limit(2000)
+    from anserini_ray.index.build import TokenizeDocs as _TD
+
+    warm.map_batches(_TD(None), batch_format="pyarrow").materialize()
+
     timings: dict[str, float] = {}
     index_dir = f"/tmp/anserini_ray_bench_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -68,11 +77,16 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     build_index(
         ray.data.read_parquet(
-            corpus_dir, columns=["conv_id", "turn_idx", "text"]
+            corpus_dir,
+            columns=["conv_id", "turn_idx", "text"],
+            override_num_blocks=max(4 * num_cpus, len(corpus_files)),
         ),
         index_dir,
-        IndexConfig(seg_shift=16),
+        IndexConfig(seg_shift=16, assume_sorted=True),
         input_files=corpus_files,
+        total_input=sum(
+            pq.read_metadata(f).num_rows for f in corpus_files
+        ),
     )
     timings["index_build"] = time.perf_counter() - t0
 
@@ -113,18 +127,80 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     return result
 
 
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "32000000"))
+
+
+def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
+    """One index build over the scaling corpus (fresh session), warm workers
+    first; prints turns/sec."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.index.build import TokenizeDocs
+    from anserini_ray.sources import write_synthetic_corpus
+
+    corpus_dir = f"/tmp/anserini_ray_corpus_{n_turns}"
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        write_synthetic_corpus(corpus_dir, n_turns, seed=42, rows_per_file=250_000)
+    corpus_files = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+    )
+    # warm worker processes (session startup is not pipeline throughput)
+    ray.data.read_parquet(
+        corpus_files[0], columns=["conv_id", "turn_idx", "text"]
+    ).limit(2000).map_batches(TokenizeDocs(None), batch_format="pyarrow").materialize()
+
+    index_dir = f"/tmp/anserini_ray_scale_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    m = build_index(
+        ray.data.read_parquet(
+            corpus_dir,
+            columns=["conv_id", "turn_idx", "text"],
+            # block count sized to the DATA (~50MB blocks), not the cpu
+            # count — oversized blocks hurt small clusters
+            override_num_blocks=max(128, 4 * num_cpus),
+        ),
+        index_dir,
+        IndexConfig(seg_shift=17, assume_sorted=True),
+        input_files=corpus_files,
+        total_input=n_turns,
+    )
+    dt = time.perf_counter() - t0
+    out = {
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "build_sec": round(dt, 2),
+        "build_turns_per_sec": round(n_turns / dt, 1),
+        "stage_secs": m.counters["stage_secs"],
+    }
+    ray.shutdown()
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
         results = []
         for n in (8, 32):
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", str(n)],
+                [sys.executable, os.path.abspath(__file__), "--single-scale", str(n)],
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            results.append(json.loads(line))
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"scaling run failed: {out.stderr[-2000:]}")
+            results.append(json.loads(lines[-1]))
         t8, t32 = (r["build_turns_per_sec"] for r in results)
         eff = (t32 / t8) / (32 / 8)
         print(
@@ -139,10 +215,15 @@ def main():
                     },
                     "sf": SF_DIR,
                     "num_cpus": 32,
+                    "scaling_turns": SCALING_TURNS,
                     "runs": results,
                 }
             )
         )
+        return
+    if "--single-scale" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--single-scale") + 1])
+        print(json.dumps(run_scaling_build(n, SCALING_TURNS)))
         return
     if "--single" in sys.argv:
         n = int(sys.argv[sys.argv.index("--single") + 1])

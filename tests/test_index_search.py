@@ -72,9 +72,9 @@ def test_term_stats_match_oracle(built_index):
     eng_df: dict = {}
     eng_cf: dict = {}
     for r in s.readers:
-        for i, term in enumerate(r._terms.to_pylist()):
-            eng_df[term] = eng_df.get(term, 0) + int(r._df[i])
-            eng_cf[term] = eng_cf.get(term, 0) + int(r._cf[i])
+        for term, df_, cf_ in r.iter_terms():
+            eng_df[term] = eng_df.get(term, 0) + df_
+            eng_cf[term] = eng_cf.get(term, 0) + cf_
     assert set(eng_df) == set(oracle.tf)
     for term in oracle.tf:
         assert eng_df[term] == oracle.df(term), term
