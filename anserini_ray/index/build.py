@@ -433,12 +433,21 @@ def build_index(
     config: IndexConfig | None = None,
     input_files: list[str] | None = None,
     total_input: int | None = None,
+    whitelist=None,
+    dedup_docids: bool = False,
 ) -> IndexManifest:
     """Build the inverted index from a transcripts Dataset into index_dir.
 
     Returns the global IndexManifest. With config.resume=True, segments whose
     manifests match the input/config fingerprint are skipped (their postings
-    and docmap partitions are kept)."""
+    and docmap partitions are kept).
+
+    whitelist: optional iterable of docids ("conv:turn") — only these are
+    indexed (broadcast-set semi-join; reference `-whitelist`,
+    IndexCollection.java:208-211, 707-712).
+    dedup_docids: last-write-wins upsert per (conv_id, turn_idx) by ts
+    (reference `-uniqueDocid` updateDocument, IndexCollection.java:213-217);
+    requires the ts column and forces the sort path."""
     import time as _time
 
     config = config or IndexConfig()
@@ -461,6 +470,35 @@ def build_index(
         now = _time.perf_counter()
         stage_secs[stage] = round(now - _t, 3)
         _t = now
+
+    if whitelist is not None:
+        wl_ref = ray.put(frozenset(whitelist))
+
+        def wl_filter(batch: pa.Table) -> pa.Table:
+            wl = ray.get(wl_ref)
+            mask = pa.array(
+                [
+                    f"{c}:{t}" in wl
+                    for c, t in zip(
+                        batch["conv_id"].to_pylist(),
+                        batch["turn_idx"].to_pylist(),
+                    )
+                ]
+            )
+            return batch.filter(mask)
+
+        transcripts = transcripts.map_batches(wl_filter, batch_format="pyarrow")
+
+    if dedup_docids:
+        if "ts" not in transcripts.schema().names:
+            raise ValueError("dedup_docids requires the ts column")
+        from ..stages.dedup import unique_by_key
+
+        transcripts = unique_by_key(
+            transcripts, ["conv_id", "turn_idx"], "ts", keep="last"
+        )
+        # groupby output order is not conversation order
+        config.assume_sorted = False
 
     if total_input is None:
         # One extra streaming pass just to count input rows (counter parity

@@ -59,6 +59,8 @@ class LocalSearcher:
         mode: str | None = None,
         analyzer_config: dict | None = None,
         prune: bool = False,
+        similarity: str = "bm25",
+        sim_params: dict | None = None,
     ):
         self.manifest = IndexManifest.read(index_dir)
         if segment_ids is None:
@@ -70,8 +72,16 @@ class LocalSearcher:
         self.params = BM25Params(
             self.manifest.doc_count, self.manifest.sum_total_tf, k1, b, self.mode
         )
+        self.similarity = similarity
+        if similarity != "bm25":
+            from .similarities import CollectionStats, make_similarity
+
+            self.sim = make_similarity(similarity, **(sim_params or {}))
+            self.cstats = CollectionStats(
+                self.manifest.doc_count, self.manifest.sum_total_tf
+            )
         self.analyzer = make_analyzer(analyzer_config)
-        self.prune = prune
+        self.prune = prune and similarity == "bm25"  # bounds are BM25-only
 
     # ---------------------------------------------------------------- query
     def _clauses(self, query_text: str) -> list[tuple[str, int]]:
@@ -90,6 +100,7 @@ class LocalSearcher:
         dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
         acc = np.zeros(reader.doc_count, dtype=np.float32)
         touched = np.zeros(reader.doc_count, dtype=bool)
+        bm25 = self.similarity == "bm25"
         for term, cnt in clauses:
             post = reader.postings(term)
             if post is None:
@@ -97,9 +108,15 @@ class LocalSearcher:
             gdf = reader.global_df.get(term, 0)
             if gdf <= 0:
                 continue
-            w = F(cnt) * idf(gdf, N)
             ords, tfs = post
-            contrib = self.params.score_postings(w, tfs, dl[ords])
+            if bm25:
+                w = F(cnt) * idf(gdf, N)
+                contrib = self.params.score_postings(w, tfs, dl[ords])
+            else:
+                fn = self.sim.term_scorer(
+                    cnt, gdf, reader.global_cf.get(term, 0), self.cstats
+                )
+                contrib = fn(tfs, dl[ords])
             acc[ords] += contrib
             touched[ords] = True
         cand = np.flatnonzero(touched)
@@ -354,6 +371,23 @@ class Searcher:
             docids, scores = results[qid]
             lines.extend(format_trec_run(qid, docids, scores, runtag))
         return lines
+
+    def run_to_file(
+        self,
+        queries,
+        path: str,
+        k: int = DEFAULT_K,
+        runtag: str = "AnseriniRay",
+        skip_existing: bool = True,
+    ) -> str | None:
+        """Write a TREC run file; with skip_existing, an existing non-empty
+        run is left untouched (reference -skipexists resume,
+        SearchCollection.java:438-441)."""
+        from .runio import run_exists, write_run_file
+
+        if skip_existing and run_exists(path):
+            return None
+        return write_run_file(path, self.run_to_trec(queries, k, runtag))
 
 
 class SearcherStage:

@@ -189,8 +189,10 @@ def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        lo = int(os.environ.get("GRAFT_SCALE_FROM", "8"))
+        hi = int(os.environ.get("GRAFT_SCALE_TO", "32"))
         results = []
-        for n in (8, 32):
+        for n in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single-scale", str(n)],
                 capture_output=True,
@@ -202,16 +204,16 @@ def main():
                 raise RuntimeError(f"scaling run failed: {out.stderr[-2000:]}")
             results.append(json.loads(lines[-1]))
         t8, t32 = (r["build_turns_per_sec"] for r in results)
-        eff = (t32 / t8) / (32 / 8)
+        eff = (t32 / t8) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency 8→32 cpus (index build)",
+                    "metric": f"scaling efficiency {lo}→{hi} cpus (index build)",
                     "value": round(eff, 3),
                     "unit": "efficiency",
                     "queries": {
-                        "build_turns_per_sec_8cpu": t8,
-                        "build_turns_per_sec_32cpu": t32,
+                        f"build_turns_per_sec_{lo}cpu": t8,
+                        f"build_turns_per_sec_{hi}cpu": t32,
                     },
                     "sf": SF_DIR,
                     "num_cpus": 32,

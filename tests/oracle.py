@@ -74,3 +74,62 @@ class BruteForceIndex:
                 scores[doc_id] = scores.get(doc_id, F(0)) + contrib
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(d, float(s)) for d, s in ranked[:k]]
+
+
+    def search_sim(
+        self, query: str, similarity: str, k: int = 1000, mode: str = "lucene",
+        **params,
+    ) -> list[tuple[str, float]]:
+        """Scalar-math oracle for the non-BM25 similarity family (same
+        published formulas, independent implementation)."""
+        import math as m
+
+        tokens = self.analyzer.analyze(query)
+        clauses: dict[str, int] = {}
+        for t in tokens:
+            clauses[t] = clauses.get(t, 0) + 1
+        N, sum_tf = self.N, self.sum_dl
+        avgdl = float(self.avgdl)
+        scores: dict[str, np.float32] = {}
+        for term, cnt in clauses.items():
+            postings = self.tf.get(term)
+            if not postings:
+                continue
+            gdf = len(postings)
+            gcf = sum(postings.values())
+            for doc_id, tf in postings.items():
+                dl = self.dl[doc_id]
+                if mode == "lucene":
+                    dl = byte4_to_int(int_to_byte4(dl))
+                dlf = max(float(dl), 1.0) if similarity in ("qljm",) else float(dl)
+                if similarity == "qld":
+                    mu = params.get("mu", 1000.0)
+                    p_c = (gcf + 1.0) / (sum_tf + 1.0)
+                    s = m.log(1 + tf / (mu * p_c)) + m.log(mu / (dl + mu))
+                    s = max(s, 0.0)
+                elif similarity == "qljm":
+                    lam = params.get("lam", 0.1)
+                    p_c = (gcf + 1.0) / (sum_tf + 1.0)
+                    s = max(m.log(1 + ((1 - lam) * tf / dlf) / (lam * p_c)), 0.0)
+                elif similarity == "inl2":
+                    c = params.get("c", 0.1)
+                    tfn = tf * m.log2(1 + c * avgdl / max(float(dl), 1.0))
+                    s = max(tfn / (tfn + 1.0) * m.log2((N + 1.0) / (gdf + 0.5)), 0.0)
+                elif similarity == "spl":
+                    c = params.get("c", 0.1)
+                    lam = (gdf + 1.0) / (N + 1.0)
+                    tfn = tf * m.log2(1 + c * avgdl / max(float(dl), 1.0))
+                    frac = tfn / (tfn + 1.0)
+                    s = max(-m.log(max((lam ** frac - lam) / (1 - lam), 1e-12)), 0.0)
+                elif similarity == "f2exp":
+                    s_, kk = params.get("s", 0.5), params.get("k", 0.35)
+                    s = tf / (tf + s_ + s_ * dl / avgdl) * ((N + 1.0) / gdf) ** kk
+                elif similarity == "f2log":
+                    s_ = params.get("s", 0.5)
+                    s = tf / (tf + s_ + s_ * dl / avgdl) * m.log((N + 1.0) / gdf)
+                else:
+                    raise ValueError(similarity)
+                contrib = F(cnt * s)
+                scores[doc_id] = scores.get(doc_id, F(0)) + contrib
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(d, float(s)) for d, s in ranked[:k]]

@@ -174,3 +174,20 @@ def test_resume_skips_done_segments(built_index, ray_session):
         docids, scores = s.search(qtext, k=20, adjust_ties=False)
         expected = oracle.search(qtext, k=20)
         assert docids == [d for d, _ in expected], f"after resume q{qid}"
+
+
+@pytest.mark.parametrize(
+    "similarity", ["qld", "qljm", "inl2", "spl", "f2exp", "f2log"]
+)
+def test_similarity_family_matches_oracle(built_index, similarity):
+    index_dir, *_ , oracle, table, corpus_path, config = built_index
+    from anserini_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir, similarity=similarity)
+    for qid, qtext in QUERIES[:6]:
+        docids, scores = s.search(qtext, k=30, adjust_ties=False)
+        expected = oracle.search_sim(qtext, similarity, k=30)
+        assert docids == [d for d, _ in expected], f"{similarity} q{qid}"
+        got = np.array(scores, dtype=np.float32)
+        want = np.array([sc for _, sc in expected], dtype=np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)

@@ -1,0 +1,193 @@
+"""Topic readers, JSON collection source, whitelist / unique-docid build
+options, run file IO, multimodal plumbing, dedup stages."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from anserini_ray.sources import generate_transcripts
+from anserini_ray.sources.topics import (
+    read_trec_topics,
+    read_tsv_string_topics,
+    read_tsv_topics,
+)
+
+
+def test_tsv_topics(tmp_path):
+    p = tmp_path / "topics.tsv"
+    p.write_text("10\thash join\n2\tmerge sort\n7\twindow\n")
+    assert read_tsv_topics(str(p)) == [
+        (2, "merge sort"), (7, "window"), (10, "hash join"),
+    ]
+    assert read_tsv_string_topics(str(p))[0] == ("10", "hash join")
+
+
+def test_trec_topics(tmp_path):
+    p = tmp_path / "topics.txt"
+    p.write_text(
+        """<top>
+<num> Number: 301
+<title> International Organized Crime
+<desc> Description:
+Identify organizations that participate in crime
+<narr> Narrative:
+A relevant document identifies such organizations.
+</top>
+<top>
+<num> Number: 302
+<title> Poliomyelitis and Post-Polio
+<desc> Description:
+Is the disease under control?
+<narr> Narrative:
+Relevant documents discuss post-polio problems.
+</top>
+"""
+    )
+    topics = read_trec_topics(str(p))
+    assert list(topics) == [301, 302]
+    assert topics[301]["title"] == "International Organized Crime"
+    assert topics[302]["description"] == "Is the disease under control?"
+    assert "post-polio" in topics[302]["narrative"]
+
+
+def test_json_collection_roundtrip(ray_session, tmp_path):
+    import json
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.sources.json_collection import read_json_collection
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for i, text in enumerate(
+            ["city buses running", "merge sort algorithm", "hash join plan",
+             "the quick brown fox", "merge conflicts resolved"]
+        ):
+            f.write(json.dumps({"id": f"doc{i}", "contents": text}) + "\n")
+    ds = read_json_collection(str(p))
+    idx = str(tmp_path / "jidx")
+    m = build_index(ds, idx, IndexConfig(seg_shift=4), input_files=[str(p)])
+    assert m.doc_count == 5
+    s = LocalSearcher(idx)
+    docids, scores = s.search("merge", k=5)
+    assert set(docids) == {"doc1:0", "doc4:0"}
+
+
+def test_whitelist_and_dedup_options(ray_session, tmp_path):
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+
+    table = generate_transcripts(200, seed=3)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(table, p)
+
+    wl = {
+        f"{c}:{t}"
+        for c, t in list(
+            zip(table["conv_id"].to_pylist(), table["turn_idx"].to_pylist())
+        )[:50]
+    }
+    ds = ray.data.read_parquet(p, columns=["conv_id", "turn_idx", "text"])
+    idx = str(tmp_path / "wlidx")
+    m = build_index(
+        ds, idx, IndexConfig(seg_shift=6), input_files=[p], whitelist=wl
+    )
+    nonempty_wl = sum(
+        1
+        for c, t, x in zip(
+            table["conv_id"].to_pylist(),
+            table["turn_idx"].to_pylist(),
+            table["text"].to_pylist(),
+        )
+        if f"{c}:{t}" in wl and x and x.strip()
+    )
+    assert m.doc_count == nonempty_wl
+
+    # dedup: duplicate the whole corpus with later ts; last-write-wins
+    t2 = table.set_column(
+        5, "ts", pa.array(np.asarray(table["ts"].cast(pa.int64())) + 10**9,
+                          type=pa.timestamp("us"))
+    )
+    both = pa.concat_tables([table, t2])
+    p2 = str(tmp_path / "dup.parquet")
+    pq.write_table(both, p2)
+    ds2 = ray.data.read_parquet(p2)
+    idx2 = str(tmp_path / "dupidx")
+    m2 = build_index(
+        ds2, idx2, IndexConfig(seg_shift=6), input_files=[p2], dedup_docids=True
+    )
+    n_docs = sum(
+        1 for x in table["text"].to_pylist() if x and x.strip()
+    )
+    assert m2.doc_count == n_docs
+
+
+def test_run_file_io(tmp_path):
+    from anserini_ray.search.runio import (
+        read_run_file,
+        run_exists,
+        write_run_file,
+    )
+
+    p = str(tmp_path / "run.txt")
+    assert not run_exists(p)
+    write_run_file(p, ["1 Q0 d1 1 2.500000 tag", "1 Q0 d2 2 2.400000 tag"])
+    assert run_exists(p)
+    rows = read_run_file(p)
+    assert rows[0] == ("1", "d1", 1, 2.5)
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.multimodal import (
+        MediaFeatureExtract,
+        media_pipeline,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32, seed=5)
+    ds = ray.data.from_arrow(t)
+    out = media_pipeline(ds, decoder="fake", batch_size=8).take_all()
+    assert len(out) == 32
+    assert len(out[0]["features"]) == 128
+    # deterministic: same payload -> same features
+    again = media_pipeline(ray.data.from_arrow(t), decoder="fake").take_all()
+    assert np.allclose(out[0]["features"], again[0]["features"])
+    # stubbed real decoder is clearly marked
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtract(decoder="none")._decode(b"x", "image/png")
+
+
+def test_dedup_stages(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard,
+        simhash64,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 3, "text": "completely different content about databases"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog"},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_lsh_dedup(ds, threshold=0.5)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.to_pylist()}
+    assert (1, 4) in found  # exact dup always collides
+    assert ngram_jaccard(rows[0]["text"], rows[3]["text"]) == 1.0
+    assert 0 < ngram_jaccard(rows[0]["text"], rows[1]["text"]) < 1.0
+    h1 = simhash64(rows[0]["text"].split())
+    h2 = simhash64(rows[1]["text"].split())
+    h3 = simhash64(rows[2]["text"].split())
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13  # similar texts closer in hamming space
