@@ -87,11 +87,16 @@ class IndexConfig:
     # rows per encode task (per-term runs get longer with bigger batches but
     # tasks get fewer; ~16K balances parallelism vs. sub-row count)
     encode_batch_size: int = 16384
+    # also write a forward index (doc -> terms/tfs) per segment; required by
+    # pseudo-relevance-feedback rerankers (RM3's reader.getTermVector analog,
+    # Rm3Reranker.java:134-136)
+    store_docvecs: bool = False
 
     def repr_for_fingerprint(self) -> str:
         return (
             f"v{INDEX_FORMAT_VERSION}|seg{self.seg_shift}|blk{self.block_size}"
             f"|{sorted(self.analyzer.items())}|{self.norm_mode}"
+            f"|dv{int(self.store_docvecs)}"
         )
 
 
@@ -406,7 +411,7 @@ def _clean_for_build(index_dir: str, keep_segments: frozenset) -> None:
     import re
     import shutil
 
-    for sub in ("postings", "docmap"):
+    for sub in ("postings", "docmap", "docvecs"):
         root = os.path.join(index_dir, sub)
         if not os.path.isdir(root):
             continue
@@ -571,6 +576,27 @@ def build_index(
         os.path.join(index_dir, "docmap"), partition_cols=["segment_id"]
     )
     _mark("docmap_write")
+
+    if config.store_docvecs:
+
+        def project_docvecs(batch: pa.Table) -> pa.Table:
+            ords = batch["doc_ord"].to_numpy()
+            segs = pa.array((ords >> seg_shift).astype(np.int64))
+            out = pa.Table.from_arrays(
+                [batch["doc_ord"], batch["terms"], batch["tfs"], segs],
+                names=["doc_ord", "terms", "tfs", "segment_id"],
+            )
+            if skip:
+                mask = ~np.isin(out["segment_id"].to_numpy(), list(skip))
+                out = out.filter(pa.array(mask))
+            return out
+
+        with_ords.map_batches(
+            project_docvecs, batch_format="pyarrow"
+        ).write_parquet(
+            os.path.join(index_dir, "docvecs"), partition_cols=["segment_id"]
+        )
+        _mark("docvecs_write")
 
     # --- postings: explode + encode sub-block runs; sub-block rows ARE the
     # on-disk format. Each row stores its absolute first ordinal, so the

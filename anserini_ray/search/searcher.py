@@ -110,7 +110,7 @@ class LocalSearcher:
                 continue
             ords, tfs = post
             if bm25:
-                w = F(cnt) * idf(gdf, N)
+                w = F(cnt) * idf(gdf, N)  # cnt: int occurrence count OR float boost
                 contrib = self.params.score_postings(w, tfs, dl[ords])
             else:
                 fn = self.sim.term_scorer(
@@ -257,6 +257,106 @@ class LocalSearcher:
         if adjust_ties:
             scores = adjust_score_ties(scores)
         return docids, scores
+
+    def search_weighted(
+        self, term_weights, k: int = DEFAULT_K, adjust_ties: bool = True
+    ):
+        """Weighted bag-of-terms query: [(term, boost), ...] — each clause
+        scored as boost * similarity(term) (the reference's BoostQuery
+        clauses, Rm3Reranker.java:86-90)."""
+        per_seg = [
+            self._segment_topk(r, [(t, w) for t, w in term_weights], k)
+            for r in self.readers
+        ]
+        hits = _merge_ranked(per_seg, k)
+        docids = [h[0] for h in hits]
+        scores = np.array([h[1] for h in hits], dtype=np.float32)
+        if adjust_ties:
+            scores = adjust_score_ties(scores)
+        return docids, scores
+
+    # ------------------------------------------------------------- RM3 PRF
+    def doc_vector(self, docid: str) -> dict[str, int]:
+        for r in self.readers:
+            lo = r.docid_to_local(docid)
+            if lo is not None:
+                return r.doc_vector(lo)
+        return {}
+
+    def _global_df(self, term: str) -> int:
+        for r in self.readers:
+            v = r.global_df.get(term)
+            if v is not None:
+                return v
+        return 0
+
+    def search_rm3(
+        self,
+        query_text: str,
+        k: int = DEFAULT_K,
+        fb_terms: int = 10,
+        fb_docs: int = 10,
+        original_query_weight: float = 0.5,
+        rerank_cutoff: int = 50,
+        adjust_ties: bool = True,
+    ):
+        """RM3 pseudo-relevance feedback (reference
+        `Rm3Reranker.java:69-242`): first pass at rerank_cutoff depth →
+        relevance model from the top fb_docs doc vectors (term filters:
+        length 2..20, [a-z0-9]+, df-ratio <= 10%) → top fb_terms, unit-L1,
+        interpolate with the unit-L1 query model at original_query_weight →
+        weighted second pass. Requires an index built with
+        store_docvecs=True."""
+        import re
+
+        from .feature_vector import FeatureVector
+
+        qfv = FeatureVector.from_terms(
+            self.analyzer.analyze(query_text)
+        ).scale_to_unit_l1()
+
+        docids, scores = self.search(
+            query_text, k=rerank_cutoff, adjust_ties=False
+        )
+        numdocs = min(fb_docs, len(docids))
+        N = self.manifest.doc_count
+        alnum = re.compile(r"^[a-z0-9]+$")
+        docvectors = []
+        for i in range(numdocs):
+            dv = FeatureVector()
+            for term, tf in self.doc_vector(docids[i]).items():
+                if len(term) < 2 or len(term) > 20:
+                    continue
+                if not alnum.match(term):
+                    continue
+                if self._global_df(term) / N > 0.1:
+                    continue
+                dv.add_feature_weight(term, float(tf))
+            dv.prune_to_size(fb_terms)
+            docvectors.append(dv)
+
+        rm = FeatureVector()
+        vocab = set()
+        for dv in docvectors:
+            vocab |= set(dv.features)
+        norms = [dv.l1() for dv in docvectors]
+        for term in sorted(vocab):
+            fb_weight = np.float32(0)
+            for i, dv in enumerate(docvectors):
+                if norms[i] > 0.001:
+                    fb_weight = np.float32(
+                        fb_weight
+                        + (float(dv.get_feature_weight(term)) / norms[i])
+                        * scores[i]
+                    )
+            rm.add_feature_weight(term, fb_weight)
+        rm.prune_to_size(fb_terms)
+        rm.scale_to_unit_l1()
+        rm = FeatureVector.interpolate(qfv, rm, original_query_weight)
+
+        return self.search_weighted(
+            list(rm.features.items()), k=k, adjust_ties=adjust_ties
+        )
 
     def batch_search(self, queries: Sequence[tuple], k: int = DEFAULT_K):
         """[(qid, text), ...] -> {qid: (docids, scores)} (SimpleSearcher

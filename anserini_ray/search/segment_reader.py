@@ -33,6 +33,9 @@ class SegmentReader:
         self.segment_id = segment_id
         self.manifest = manifest
         self.base_ord = segment_id << manifest.seg_shift
+        self._index_dir = index_dir
+        self._docvecs = None
+        self._docid_to_local = None
 
         post = pq.read_table(
             os.path.join(index_dir, "postings", f"segment_id={segment_id}")
@@ -192,3 +195,44 @@ class SegmentReader:
         convs = self._conv_id.take(pa.array(local_ords)).to_pylist()
         turns = self._turn_idx[local_ords]
         return [f"{c}:{t}" for c, t in zip(convs, turns)]
+
+    # ---------------------------------------------------- forward index
+    def docid_to_local(self, docid: str) -> int | None:
+        """docid string -> local ordinal (lazy reverse map)."""
+        if self._docid_to_local is None:
+            convs = self._conv_id.to_pylist()
+            self._docid_to_local = {
+                f"{c}:{t}": i
+                for i, (c, t) in enumerate(zip(convs, self._turn_idx))
+            }
+        return self._docid_to_local.get(docid)
+
+    def doc_vector(self, local_ord: int) -> dict[str, int]:
+        """term -> tf forward vector (requires store_docvecs at build;
+        reference analog reader.getTermVector, IndexReaderUtils.java:469-562).
+        Terms come back in lexicographic order (Lucene TermsEnum order)."""
+        if self._docvecs is None:
+            dv_dir = os.path.join(
+                self._index_dir, "docvecs", f"segment_id={self.segment_id}"
+            )
+            if not os.path.isdir(dv_dir):
+                raise FileNotFoundError(
+                    f"{dv_dir}: forward index not present — rebuild with "
+                    "IndexConfig(store_docvecs=True) to use RM3/doc vectors"
+                )
+            dv = pq.read_table(dv_dir)
+            order = pc.sort_indices(dv["doc_ord"])
+            dv = dv.take(order)
+            self._docvecs = (
+                dv["doc_ord"].to_numpy(),
+                dv["terms"].combine_chunks(),
+                dv["tfs"].combine_chunks(),
+            )
+        ords, terms, tfs = self._docvecs
+        target = self.base_ord + local_ord  # docvecs store GLOBAL ordinals
+        i = int(np.searchsorted(ords, target))
+        if i >= ords.size or ords[i] != target:
+            return {}
+        t = terms[i].as_py()
+        f = tfs[i].as_py()
+        return dict(sorted(zip(t, f)))
