@@ -108,6 +108,12 @@ def _index_term_stats(sf_dir: str):
     )
 
 
+def _index_tool(sf_dir: str, fn_name: str):
+    from anserini_ray.pipelines import index_tools
+
+    return getattr(index_tools, fn_name)(_ensure_index(sf_dir))
+
+
 def entry() -> Any:
     return _engine_run(_DEF_SF)
 
@@ -142,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": TD.simhash_groups,
         "ann_lsh_topk": TD.ann_lsh_topk,
         "embedding_near_dup": TD.embedding_near_dup,
+        # --- index dump utilities (IndexUtils/Extract* analogs) ---
+        "index_docids_sorted": lambda sf: _index_tool(sf, "dump_docids_sorted"),
+        "index_doc_lengths": lambda sf: _index_tool(sf, "dump_doc_lengths"),
+        "index_top_df_terms": lambda sf: _index_tool(sf, "top_df_terms"),
     }
 
 
