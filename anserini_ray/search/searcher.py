@@ -358,6 +358,116 @@ class LocalSearcher:
             list(rm.features.items()), k=k, adjust_ties=adjust_ties
         )
 
+    def search_bm25prf(
+        self,
+        query_text: str,
+        k: int = DEFAULT_K,
+        fb_terms: int = 20,
+        fb_docs: int = 10,
+        prf_k1: float = 0.9,
+        prf_b: float = 0.4,
+        new_term_weight: float = 0.2,
+        rerank_cutoff: int = 50,
+        adjust_ties: bool = True,
+    ):
+        """BM25PRF query expansion (reference `BM25PrfReranker.java`):
+        first pass → Robertson offer-weight term selection over the top
+        fb_docs term sets (new-term filters: len 2..20, [a-z0-9]+, not
+        all-digits, dfRel >= 2) → top fb_terms new terms (weight
+        new_term_weight) + the original terms (weight 1) → second pass
+        under BM25 with idf ≡ 1 (BM25PrfSimilarity) and clause boosts =
+        Robertson relevance weights. Requires store_docvecs=True."""
+        import math
+
+        import re as _re
+
+        orig_terms = self.analyzer.analyze(query_text)
+        docids, _ = self.search(query_text, k=rerank_cutoff, adjust_ties=False)
+        numrel = min(fb_docs, len(docids))
+        term_sets = [
+            set(self.doc_vector(docids[i])) for i in range(numrel)
+        ]
+        vocab = set().union(*term_sets) if term_sets else set()
+        N = self.manifest.doc_count
+        alnum = _re.compile(r"^[a-z0-9]+$")
+        digits = _re.compile(r"^[0-9]+$")
+
+        def rel_weight(df, df_rel, mult):
+            rw = (
+                math.log(
+                    (df_rel + 0.5)
+                    * (N - df - numrel + df_rel + 0.5)
+                    / ((df - df_rel + 0.5) * (numrel - df_rel + 0.5))
+                )
+                * mult
+            )
+            return max(rw, 1e-6)
+
+        def offer_weight(df, df_rel, mult):
+            return rel_weight(df, df_rel, mult) * math.log(max(df_rel, 1e-6))
+
+        orig_set = set(orig_terms)
+        new_feats: dict[str, tuple[int, int, float]] = {}
+        for term in sorted(vocab):
+            if term in orig_set:
+                continue
+            if len(term) < 2 or len(term) > 20:
+                continue
+            if not alnum.match(term) or digits.match(term):
+                continue
+            df = self._global_df(term)
+            df_rel = sum(1 for ts in term_sets if term in ts)
+            if df_rel < 2:
+                continue
+            new_feats[term] = (df, df_rel, new_term_weight)
+        pruned = dict(
+            sorted(
+                new_feats.items(),
+                key=lambda kv: (-offer_weight(*kv[1]), kv[0]),
+            )[:fb_terms]
+        )
+        for term in orig_terms:
+            df = self._global_df(term)
+            df_rel = sum(1 for ts in term_sets if term in ts)
+            pruned[term] = (df, df_rel, 1.0)
+
+        weights = [(t, rel_weight(*f)) for t, f in pruned.items()]
+
+        # second pass: BM25 with idf == 1 at (prf_k1, prf_b)
+        from .bm25 import BM25Params
+
+        prf_params = BM25Params(
+            self.manifest.doc_count,
+            self.manifest.sum_total_tf,
+            prf_k1,
+            prf_b,
+            self.mode,
+        )
+        per_seg = []
+        for r in self.readers:
+            dlv = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
+            acc = np.zeros(r.doc_count, dtype=np.float32)
+            touched = np.zeros(r.doc_count, dtype=bool)
+            for term, boost in weights:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                acc[ords] += prf_params.score_postings(
+                    F(boost), tfs, dlv[ords]
+                )
+                touched[ords] = True
+            cand = np.flatnonzero(touched)
+            per_seg.append(
+                self._rank(r, cand, acc[cand], k) if cand.size else []
+            )
+        hits = _merge_ranked(per_seg, k)
+        out_ids = [h[0] for h in hits]
+        out_scores = np.array([h[1] for h in hits], dtype=np.float32)
+        if adjust_ties:
+            out_scores = adjust_score_ties(out_scores)
+        return out_ids, out_scores
+
     def batch_search(self, queries: Sequence[tuple], k: int = DEFAULT_K):
         """[(qid, text), ...] -> {qid: (docids, scores)} (SimpleSearcher
         `batchSearch`, `SimpleSearcher.java:213-284`)."""
