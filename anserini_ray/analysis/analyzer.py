@@ -181,6 +181,27 @@ class Analyzer:
         return out
 
 
+    def analyze_with_positions(self, text: str) -> tuple[list[str], list[int]]:
+        """Like analyze(), but also returns each emitted token's position in
+        the ORIGINAL token stream — dropped tokens (stopwords, empty stems)
+        still consume a position, matching Lucene's StopFilter position
+        increments (enablePositionIncrements=true default)."""
+        memo = self._memo
+        out: list[str] = []
+        pos: list[int] = []
+        _MISS = False
+        for p, raw in enumerate(tokenize(text)):
+            tok = memo.get(raw, _MISS)
+            if tok is _MISS:
+                tok = self._process(raw)
+                if len(memo) < 2_000_000:
+                    memo[raw] = tok
+            if tok is not None:
+                out.append(tok)
+                pos.append(p)
+        return out, pos
+
+
 DEFAULT_ANALYZER_CONFIG = {"stemmer": "porter", "stopwords": "lucene-english"}
 
 

@@ -91,12 +91,15 @@ class IndexConfig:
     # pseudo-relevance-feedback rerankers (RM3's reader.getTermVector analog,
     # Rm3Reranker.java:134-136)
     store_docvecs: bool = False
+    # store token positions in the postings (Lucene -storePositions analog;
+    # enables phrase/proximity queries; ~2x tokenized payload)
+    store_positions: bool = False
 
     def repr_for_fingerprint(self) -> str:
         return (
             f"v{INDEX_FORMAT_VERSION}|seg{self.seg_shift}|blk{self.block_size}"
             f"|{sorted(self.analyzer.items())}|{self.norm_mode}"
-            f"|dv{int(self.store_docvecs)}"
+            f"|dv{int(self.store_docvecs)}|pos{int(self.store_positions)}"
         )
 
 
@@ -120,30 +123,53 @@ def _process_analyzer(analyzer_config: dict | None):
 
 class TokenizeDocs:
     """map_batches stage (works as a task fn via TokenizeDocs(cfg) or as a
-    callable class)."""
+    callable class). With store_positions, also emits per-(doc, term) token
+    position lists (Lucene `-storePositions` analog,
+    `J/index/IndexArgs.java:69-72`) — roughly doubles the tokenized payload,
+    enabling phrase/proximity queries."""
 
-    def __init__(self, analyzer_config: dict | None = None):
+    def __init__(
+        self, analyzer_config: dict | None = None, store_positions: bool = False
+    ):
         self.analyzer_config = analyzer_config
+        self.store_positions = store_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        analyze = _process_analyzer(self.analyzer_config).analyze
+        _an = _process_analyzer(self.analyzer_config)
+        analyze = _an.analyze
+        analyze_pos = _an.analyze_with_positions
         keep = np.ones(len(texts), dtype=bool)
         kept_dls: list[int] = []
         flat_terms: list[str] = []
         flat_tfs: list[int] = []
         offsets: list[int] = [0]
+        positions = self.store_positions
+        flat_pos: list[int] = []
+        pos_inner_off: list[int] = [0]
         from collections import Counter
 
         for i, text in enumerate(texts):
             if text is None or not text.strip():
                 keep[i] = False
                 continue
-            toks = analyze(text)
-            kept_dls.append(len(toks))
-            counts = Counter(toks)  # C fast path
-            flat_terms.extend(counts.keys())
-            flat_tfs.extend(counts.values())
+            if positions:
+                toks, tok_pos = analyze_pos(text)
+                kept_dls.append(len(toks))
+                posmap: dict[str, list[int]] = {}
+                for t, p in zip(toks, tok_pos):
+                    posmap.setdefault(t, []).append(p)
+                for t, plist in posmap.items():
+                    flat_terms.append(t)
+                    flat_tfs.append(len(plist))
+                    flat_pos.extend(plist)
+                    pos_inner_off.append(len(flat_pos))
+            else:
+                toks = analyze(text)
+                kept_dls.append(len(toks))
+                counts = Counter(toks)  # C fast path
+                flat_terms.extend(counts.keys())
+                flat_tfs.extend(counts.values())
             offsets.append(len(flat_terms))
         idx = np.flatnonzero(keep)
         off = pa.array(np.asarray(offsets, dtype=np.int32))
@@ -151,16 +177,22 @@ class TokenizeDocs:
         tfs_col = pa.ListArray.from_arrays(
             off, pa.array(np.asarray(flat_tfs, dtype=np.int32))
         )
-        return pa.Table.from_arrays(
-            [
-                batch["conv_id"].take(pa.array(idx)),
-                pc.cast(batch["turn_idx"].take(pa.array(idx)), pa.int32()),
-                pa.array(np.asarray(kept_dls, dtype=np.int32)),
-                terms_col,
-                tfs_col,
-            ],
-            names=["conv_id", "turn_idx", "dl", "terms", "tfs"],
-        )
+        cols = [
+            batch["conv_id"].take(pa.array(idx)),
+            pc.cast(batch["turn_idx"].take(pa.array(idx)), pa.int32()),
+            pa.array(np.asarray(kept_dls, dtype=np.int32)),
+            terms_col,
+            tfs_col,
+        ]
+        names = ["conv_id", "turn_idx", "dl", "terms", "tfs"]
+        if positions:
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.asarray(pos_inner_off, dtype=np.int32)),
+                pa.array(np.asarray(flat_pos, dtype=np.int32)),
+            )
+            cols.append(pa.ListArray.from_arrays(off, inner))
+            names.append("positions")
+        return pa.Table.from_arrays(cols, names=names)
 
 
 @ray.remote
@@ -289,7 +321,9 @@ def _encode_term_run(
 
 def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozenset):
     """Vectorized map_batches fn: explode tokenized docs to postings and
-    encode per-(segment, term) varint sub-blocks within the batch."""
+    encode per-(segment, term) varint sub-blocks within the batch. When the
+    batch carries a `positions` column, each run also gets a pos_blob:
+    per-posting delta-varint position streams (split at decode by tf)."""
 
     def encode_subblocks(batch: pa.Table) -> pa.Table:
         n_docs = batch.num_rows
@@ -302,6 +336,11 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
         lengths = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
         flat_terms = pc.list_flatten(terms_col)
         flat_tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int32)
+        has_pos = "positions" in batch.column_names
+        if has_pos:
+            pos_col = batch["positions"].combine_chunks()
+            pos_flat = pc.list_flatten(pc.list_flatten(pos_col)).to_numpy()
+            pcum = np.concatenate([[0], np.cumsum(flat_tfs.astype(np.int64))])
         post_ord = np.repeat(doc_ords, lengths)
         post_dl = np.repeat(dls, lengths).astype(np.int32)
         post_seg = (post_ord >> seg_shift).astype(np.int64)
@@ -331,6 +370,7 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
             "blk_doc_off": [], "blk_tf_off": [],
         }
         seg_mask = (1 << seg_shift) - 1
+        out["pos_blob"] = []
         for lo, hi in zip(run_starts, run_ends):
             seg = int(s_seg[lo])
             if seg in skip_segments:
@@ -341,6 +381,19 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
             (dblob, tblob, bf, bn, bmt, bmd, bdo, bto) = _encode_term_run(
                 local, tf_run.astype(np.uint64), dl_run, block_size
             )
+            if has_pos:
+                idxs = order[lo:hi]
+                run_pos = np.concatenate(
+                    [pos_flat[pcum[j] : pcum[j + 1]] for j in idxs]
+                ).astype(np.uint64)
+                bounds = np.cumsum(tf_run.astype(np.int64))
+                starts_idx = np.concatenate([[0], bounds[:-1]])
+                gaps = run_pos.copy()
+                gaps[1:] -= run_pos[:-1]
+                gaps[starts_idx] = run_pos[starts_idx]
+                out["pos_blob"].append(varint_encode(gaps))
+            else:
+                out["pos_blob"].append(b"")
             out["segment_id"].append(seg)
             out["term_code"].append(int(s_code[lo]))
             out["first_local"].append(int(local[0]))
@@ -374,6 +427,7 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
                 pa.array(out["blk_min_dl"], type=pa.list_(pa.int32())),
                 pa.array(out["blk_doc_off"], type=pa.list_(pa.int32())),
                 pa.array(out["blk_tf_off"], type=pa.list_(pa.int32())),
+                pa.array(out["pos_blob"], type=pa.large_binary()),
             ],
             names=_SUBBLOCK_NAMES,
         )
@@ -384,7 +438,7 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
 _SUBBLOCK_NAMES = [
     "segment_id", "term", "first_local", "df", "cf", "max_tf",
     "doc_blob", "tf_blob", "blk_first", "blk_n", "blk_max_tf",
-    "blk_min_dl", "blk_doc_off", "blk_tf_off",
+    "blk_min_dl", "blk_doc_off", "blk_tf_off", "pos_blob",
 ]
 
 
@@ -398,6 +452,7 @@ def _empty_subblock_table() -> pa.Table:
             pa.array([], type=pa.list_(pa.int32())), pa.array([], type=pa.list_(pa.int32())),
             pa.array([], type=pa.list_(pa.int32())), pa.array([], type=pa.list_(pa.int32())),
             pa.array([], type=pa.list_(pa.int32())), pa.array([], type=pa.list_(pa.int32())),
+            pa.array([], type=pa.large_binary()),
         ],
         names=_SUBBLOCK_NAMES,
     )
@@ -521,7 +576,7 @@ def build_index(
     ds_ctx.execution_options.preserve_order = True
     try:
         tokenized = transcripts.map_batches(
-            TokenizeDocs(config.analyzer),
+            TokenizeDocs(config.analyzer, config.store_positions),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

@@ -358,6 +358,94 @@ class LocalSearcher:
             list(rm.features.items()), k=k, adjust_ties=adjust_ties
         )
 
+    def phrase_search(
+        self,
+        phrase_text: str,
+        k: int = DEFAULT_K,
+        slop: int = 0,
+        adjust_ties: bool = True,
+    ):
+        """Exact-phrase (slop=0) / ordered-window (slop>0) retrieval over
+        positional postings: candidate docs must contain every analyzed
+        phrase term with positions p, p+1..(+slop per gap) in order; matches
+        are BM25-ranked over the phrase terms (docid tie-break + ties-adjust
+        as usual). Requires a store_positions=True index. (Positional
+        machinery analog: the reference's SDM span queries,
+        `SdmQueryGenerator.java:56-88`.)"""
+        terms = self.analyzer.analyze(phrase_text)
+        if not terms:
+            return [], np.array([], dtype=np.float32)
+        N = self.params.doc_count
+        per_seg = []
+        for r in self.readers:
+            datas = []
+            ok = True
+            for t in terms:
+                p = r.positions(t)
+                if p is None:
+                    ok = False
+                    break
+                datas.append(p)
+            if not ok:
+                per_seg.append([])
+                continue
+            # intersect candidate ords across all terms
+            cand = datas[0][0]
+            for ords, *_ in datas[1:]:
+                cand = np.intersect1d(cand, ords, assume_unique=True)
+            if cand.size == 0:
+                per_seg.append([])
+                continue
+            # verify order/adjacency per candidate doc
+            matches = []
+            for ord_ in cand:
+                prev_pos = None
+                hit = True
+                for ords, tfs, flat, offs in datas:
+                    j = int(np.searchsorted(ords, ord_))
+                    pos = flat[offs[j] : offs[j + 1]]
+                    if prev_pos is None:
+                        prev_pos = pos.astype(np.int64)
+                        continue
+                    # next term must appear within (1, 1+slop] after some prev
+                    nxt = []
+                    ps = set(pos.tolist())
+                    for pp in prev_pos.tolist():
+                        for d in range(1, 2 + slop):
+                            if pp + d in ps:
+                                nxt.append(pp + d)
+                    if not nxt:
+                        hit = False
+                        break
+                    prev_pos = np.asarray(sorted(set(nxt)), dtype=np.int64)
+                if hit:
+                    matches.append(int(ord_))
+            if not matches:
+                per_seg.append([])
+                continue
+            m = np.asarray(matches, dtype=np.int64)
+            dl = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
+            acc = np.zeros(m.size, dtype=np.float32)
+            counts: dict[str, int] = {}
+            for t in terms:
+                counts[t] = counts.get(t, 0) + 1
+            for t, cnt in counts.items():
+                ords, tfs, _, _ = datas[terms.index(t)]
+                j = np.searchsorted(ords, m)
+                w = F(cnt) * idf(r.global_df.get(t, 1), N)
+                acc += self.params.score_postings(w, tfs[j], dl[m])
+            docids = r.doc_id_strings(m)
+            order = sorted(range(m.size), key=lambda i: (-acc[i], docids[i]))
+            per_seg.append(
+                [(docids[i], float(acc[i])) for i in order[:k]]
+            )
+        hits = _merge_ranked(per_seg, k)
+        out_ids = [h[0] for h in hits]
+        out_scores = np.array([h[1] for h in hits], dtype=np.float32)
+        if adjust_ties:
+            out_scores = adjust_score_ties(out_scores)
+        return out_ids, out_scores
+
     def search_bm25prf(
         self,
         query_text: str,

@@ -191,6 +191,44 @@ class SegmentReader:
             return np.empty(0, np.int64), np.empty(0, np.int32)
         return np.concatenate(ords_parts), np.concatenate(tf_parts)
 
+    def positions(self, term: str):
+        """Decode positional postings -> (local ords, tfs, flat positions,
+        per-posting offsets into the flat array). Requires a
+        store_positions=True build."""
+        r = self._term_range.get(term)
+        if r is None:
+            return None
+        lo, hi = r
+        if "pos_blob" not in self._rows.column_names:
+            raise ValueError(
+                "index has no positions — rebuild with "
+                "IndexConfig(store_positions=True)"
+            )
+        pos_col = self._rows["pos_blob"].combine_chunks()
+        all_ords, all_tfs, all_pos = [], [], []
+        for i in range(lo, hi):
+            ords, tfs = self._decode_row(i)
+            blob = pos_col[i].as_py()
+            if not blob:
+                raise ValueError(
+                    "index has no positions — rebuild with "
+                    "IndexConfig(store_positions=True)"
+                )
+            vals = varint_decode(blob, int(tfs.sum()))
+            # segmented cumsum: absolute positions per posting
+            bounds = np.cumsum(tfs.astype(np.int64))
+            starts = np.concatenate([[0], bounds[:-1]])
+            cs = np.cumsum(vals, dtype=np.uint64)
+            base = np.repeat(cs[starts] - vals[starts], tfs)
+            all_pos.append((cs - base).astype(np.int32))
+            all_ords.append(ords)
+            all_tfs.append(tfs)
+        ords = np.concatenate(all_ords)
+        tfs = np.concatenate(all_tfs)
+        flat = np.concatenate(all_pos)
+        offs = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        return ords, tfs, flat, offs
+
     def doc_id_strings(self, local_ords: np.ndarray) -> list[str]:
         convs = self._conv_id.take(pa.array(local_ords)).to_pylist()
         turns = self._turn_idx[local_ords]
