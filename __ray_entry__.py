@@ -24,13 +24,20 @@ _DEF_SF = "/root/testdata/sf0.001"
 
 def _ensure_index(sf_dir: str, norm_mode: str = "lucene") -> str:
     """Build (or reuse a fingerprint-matching cached build of) the inverted
-    index for sf_dir's transcript corpus under /tmp."""
+    index for sf_dir's transcript corpus under /tmp. Built with the forward
+    index and positions so every retrieval mode is available."""
     from anserini_ray.index import IndexConfig, build_index
     from anserini_ray.sources import transcripts_from_documents
     from anserini_ray.state import IndexManifest, input_fingerprint
 
     files = [os.path.join(sf_dir, "documents.parquet")]
-    cfg = IndexConfig(seg_shift=13, norm_mode=norm_mode, assume_sorted=True)
+    cfg = IndexConfig(
+        seg_shift=13,
+        norm_mode=norm_mode,
+        assume_sorted=True,
+        store_docvecs=True,
+        store_positions=True,
+    )
     fp = input_fingerprint(files, cfg.repr_for_fingerprint())
     tag = hashlib.sha1(f"{sf_dir}|{norm_mode}".encode()).hexdigest()[:12]
     index_dir = f"/tmp/anserini_ray_index_{tag}"
@@ -108,6 +115,76 @@ def _index_term_stats(sf_dir: str):
     )
 
 
+def _mode_run(sf_dir: str, mode: str, k: int = 10):
+    """Ranked-run table for an advanced retrieval mode over the built
+    index (RM3 / BM25PRF / phrase / alternate similarity)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    if mode == "qld":
+        s = LocalSearcher(index_dir, similarity="qld")
+        run = lambda q: s.search(q, k=k)
+    elif mode == "rm3":
+        s = LocalSearcher(index_dir)
+        run = lambda q: s.search_rm3(q, k=k)
+    elif mode == "prf":
+        s = LocalSearcher(index_dir)
+        run = lambda q: s.search_bm25prf(q, k=k)
+    elif mode == "phrase":
+        s = LocalSearcher(index_dir)
+        run = lambda q: s.phrase_search(q, k=k)
+    else:
+        raise ValueError(mode)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in SIMPLE_QUERIES:
+        d, sc = run(text)
+        for r, (di, si) in enumerate(zip(d, sc)):
+            qids.append(qid)
+            ranks.append(r + 1)
+            docs.append(di)
+            scores.append(float(si))
+    return pa.Table.from_arrays(
+        [
+            pa.array(qids, type=pa.int32()),
+            pa.array(ranks, type=pa.int32()),
+            pa.array(docs, type=pa.string()),
+            pa.array(np.asarray(scores, dtype=np.float32), type=pa.float32()),
+        ],
+        names=["qid", "rank", "doc_id", "score"],
+    )
+
+
+def _ltr_features(sf_dir: str):
+    """LTR feature rows for (benchmark query x its top-5 BM25 docs)."""
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.ltr import extract_features
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    qids, qtexts, docids = [], [], []
+    for qid, text in SIMPLE_QUERIES:
+        d, _ = s.search(text, k=5, adjust_ties=False)
+        for di in d:
+            qids.append(qid)
+            qtexts.append(text)
+            docids.append(di)
+    pairs = pa.table(
+        {
+            "qid": pa.array(qids, type=pa.int32()),
+            "query": qtexts,
+            "doc_id": docids,
+        }
+    )
+    return extract_features(index_dir, pairs)
+
+
 def _index_tool(sf_dir: str, fn_name: str):
     from anserini_ray.pipelines import index_tools
 
@@ -148,6 +225,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": TD.simhash_groups,
         "ann_lsh_topk": TD.ann_lsh_topk,
         "embedding_near_dup": TD.embedding_near_dup,
+        # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
+        "bm25_rm3": lambda sf: _mode_run(sf, "rm3"),
+        "bm25_prf": lambda sf: _mode_run(sf, "prf"),
+        "phrase_topk": lambda sf: _mode_run(sf, "phrase"),
+        "qld_topk": lambda sf: _mode_run(sf, "qld"),
+        "ltr_features": _ltr_features,
         # --- index dump utilities (IndexUtils/Extract* analogs) ---
         "index_docids_sorted": lambda sf: _index_tool(sf, "dump_docids_sorted"),
         "index_doc_lengths": lambda sf: _index_tool(sf, "dump_doc_lengths"),
