@@ -137,6 +137,9 @@ def _mode_run(sf_dir: str, mode: str, k: int = 10):
     elif mode == "phrase":
         s = LocalSearcher(index_dir)
         run = lambda q: s.phrase_search(q, k=k)
+    elif mode == "sdm":
+        s = LocalSearcher(index_dir)
+        run = lambda q: s.search_sdm(q, k=k)
     else:
         raise ValueError(mode)
     qids, ranks, docs, scores = [], [], [], []
@@ -229,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rm3": lambda sf: _mode_run(sf, "rm3"),
         "bm25_prf": lambda sf: _mode_run(sf, "prf"),
         "phrase_topk": lambda sf: _mode_run(sf, "phrase"),
+        "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
         "qld_topk": lambda sf: _mode_run(sf, "qld"),
         "ltr_features": _ltr_features,
         # --- index dump utilities (IndexUtils/Extract* analogs) ---

@@ -446,6 +446,117 @@ class LocalSearcher:
             out_scores = adjust_score_ties(out_scores)
         return out_ids, out_scores
 
+    def search_sdm(
+        self,
+        query_text: str,
+        k: int = DEFAULT_K,
+        term_weight: float = 0.85,
+        ordered_weight: float = 0.1,
+        unordered_weight: float = 0.05,
+        window: int = 8,
+        adjust_ties: bool = True,
+    ):
+        """Sequential Dependence Model (reference `SdmQueryGenerator.java:
+        56-88`: 0.85*terms + 0.1*ordered-window(1) + 0.05*unordered-window(8)
+        over span queries). Structural analog over positional postings:
+        bigram clauses score as BM25 with tf = window-match count and df =
+        number of docs the window matches (computed exactly from positions);
+        Lucene's span sloppyFreq weighting is NOT replicated bit-for-bit —
+        this operator is verified against its own scalar oracle. Requires a
+        store_positions=True index."""
+        terms = self.analyzer.analyze(query_text)
+        if len(terms) < 2:
+            return self.search(query_text, k, adjust_ties)
+        N = self.params.doc_count
+        pairs = list(zip(terms, terms[1:]))
+
+        # phase 1: per-segment window match counts per doc
+        seg_pair_counts: list[dict] = []  # per reader: {pair: (ords, ord_c, unord_c)}
+        for r in self.readers:
+            pc_map = {}
+            for t1, t2 in pairs:
+                p1 = r.positions(t1)
+                p2 = r.positions(t2)
+                if p1 is None or p2 is None:
+                    continue
+                o1, _, f1, off1 = p1
+                o2, _, f2, off2 = p2
+                common, i1, i2 = np.intersect1d(
+                    o1, o2, assume_unique=True, return_indices=True
+                )
+                if common.size == 0:
+                    continue
+                ord_c = np.zeros(common.size, dtype=np.int32)
+                unord_c = np.zeros(common.size, dtype=np.int32)
+                for ci in range(common.size):
+                    a = f1[off1[i1[ci]] : off1[i1[ci] + 1]]
+                    bset = f2[off2[i2[ci]] : off2[i2[ci] + 1]]
+                    bs = set(bset.tolist())
+                    ord_c[ci] = sum(1 for p in a.tolist() if p + 1 in bs)
+                    unord_c[ci] = sum(
+                        1
+                        for p in a.tolist()
+                        for q in bset.tolist()
+                        if p != q and abs(int(p) - int(q)) < window
+                    )
+                pc_map[(t1, t2)] = (common, ord_c, unord_c)
+            seg_pair_counts.append(pc_map)
+
+        # global window dfs
+        pair_df_o: dict[tuple, int] = {}
+        pair_df_u: dict[tuple, int] = {}
+        for pc_map in seg_pair_counts:
+            for pair, (common, oc, uc) in pc_map.items():
+                pair_df_o[pair] = pair_df_o.get(pair, 0) + int((oc > 0).sum())
+                pair_df_u[pair] = pair_df_u.get(pair, 0) + int((uc > 0).sum())
+
+        # phase 2: score
+        w_t, w_o, w_u = F(term_weight), F(ordered_weight), F(unordered_weight)
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        per_seg = []
+        for r, pc_map in zip(self.readers, seg_pair_counts):
+            dl = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
+            acc = np.zeros(r.doc_count, dtype=np.float32)
+            touched = np.zeros(r.doc_count, dtype=bool)
+            for t, cnt in counts.items():
+                post = r.postings(t)
+                gdf = r.global_df.get(t, 0)
+                if post is None or gdf <= 0:
+                    continue
+                ords, tfs = post
+                w = w_t * F(cnt) * idf(gdf, N)
+                acc[ords] += self.params.score_postings(w, tfs, dl[ords])
+                touched[ords] = True
+            for pair in pairs:
+                if pair not in pc_map:
+                    continue
+                common, oc, uc = pc_map[pair]
+                for weight, cvec, dfm in (
+                    (w_o, oc, pair_df_o),
+                    (w_u, uc, pair_df_u),
+                ):
+                    hit = cvec > 0
+                    if not hit.any() or dfm[pair] <= 0:
+                        continue
+                    w = weight * idf(dfm[pair], N)
+                    sub = common[hit]
+                    acc[sub] += self.params.score_postings(
+                        w, cvec[hit], dl[sub]
+                    )
+                    touched[sub] = True
+            cand = np.flatnonzero(touched)
+            per_seg.append(
+                self._rank(r, cand, acc[cand], k) if cand.size else []
+            )
+        hits = _merge_ranked(per_seg, k)
+        out_ids = [h[0] for h in hits]
+        out_scores = np.array([h[1] for h in hits], dtype=np.float32)
+        if adjust_ties:
+            out_scores = adjust_score_ties(out_scores)
+        return out_ids, out_scores
+
     def search_bm25prf(
         self,
         query_text: str,
