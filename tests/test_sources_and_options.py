@@ -191,3 +191,34 @@ def test_dedup_stages(ray_session):
     d12 = bin(h1 ^ h2).count("1")
     d13 = bin(h1 ^ h3).count("1")
     assert d12 < d13  # similar texts closer in hamming space
+
+
+def test_searcher_stage_map_batches(ray_session, tmp_path_factory):
+    """The batch query path: queries dataset -> map_batches(SearcherStage)."""
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher, SearcherStage
+    from anserini_ray.sources import generate_transcripts
+
+    tmp = tmp_path_factory.mktemp("stage")
+    p = str(tmp / "c.parquet")
+    pq.write_table(generate_transcripts(400, seed=9), p)
+    idx = str(tmp / "idx")
+    build_index(ray.data.read_parquet(p), idx, IndexConfig(seg_shift=7), input_files=[p])
+
+    queries = ray.data.from_items(
+        [{"qid": "1", "text": "merge sort"}, {"qid": "2", "text": "pipeline"}]
+    )
+    out = queries.map_batches(
+        SearcherStage,
+        fn_constructor_args=(idx, 10),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    local = LocalSearcher(idx)
+    for qid, qtext in [("1", "merge sort"), ("2", "pipeline")]:
+        d, s = local.search(qtext, k=10)
+        sub = out[out.qid == qid].sort_values("rank")
+        assert list(sub.doc_id) == d
+        assert np.allclose(sub.score.to_numpy(), np.asarray(s), rtol=1e-6)
