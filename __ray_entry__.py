@@ -140,6 +140,9 @@ def _mode_run(sf_dir: str, mode: str, k: int = 10):
     elif mode == "sdm":
         s = LocalSearcher(index_dir)
         run = lambda q: s.search_sdm(q, k=k)
+    elif mode == "axiom":
+        s = LocalSearcher(index_dir)
+        run = lambda q: s.search_axiom(q, k=k)
     else:
         raise ValueError(mode)
     qids, ranks, docs, scores = [], [], [], []
@@ -233,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prf": lambda sf: _mode_run(sf, "prf"),
         "phrase_topk": lambda sf: _mode_run(sf, "phrase"),
         "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
+        "bm25_axiom": lambda sf: _mode_run(sf, "axiom"),
         "qld_topk": lambda sf: _mode_run(sf, "qld"),
         "ltr_features": _ltr_features,
         # --- index dump utilities (IndexUtils/Extract* analogs) ---

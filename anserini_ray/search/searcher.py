@@ -446,6 +446,138 @@ class LocalSearcher:
             out_scores = adjust_score_ties(out_scores)
         return out_ids, out_scores
 
+    def doc_vector_by_ord(self, global_ord: int) -> dict[str, int]:
+        seg = global_ord >> self.manifest.seg_shift
+        for r in self.readers:
+            if r.segment_id == seg:
+                return r.doc_vector(global_ord - r.base_ord)
+        return {}
+
+    def _docid_by_ord(self, global_ord: int) -> str | None:
+        seg = global_ord >> self.manifest.seg_shift
+        for r in self.readers:
+            if r.segment_id == seg:
+                lo = global_ord - r.base_ord
+                return r.doc_id_strings(np.array([lo]))[0]
+        return None
+
+    def search_axiom(
+        self,
+        query_text: str,
+        k: int = DEFAULT_K,
+        r_top: int = 20,
+        n_factor: int = 30,
+        beta: float = 0.4,
+        m_terms: int = 20,
+        k_terms: int = 1000,
+        seed: int = 42,
+        rerank_cutoff: int = 50,
+        adjust_ties: bool = True,
+    ):
+        """Axiomatic semantic query expansion (reference
+        `AxiomReranker.java:143-553`, defaults R=20 N=30 beta=0.4 M=20
+        seed=42 deterministic): reranking pool = top-R first-pass docs +
+        seeded-uniform sample of (N-1)*R docs (sampled over the dense
+        deterministic doc ordinals — the analog of the reference's sorted
+        docid cache); per-query-term mutual information over the pool's
+        term-docid sets; expansion weight = idf * beta * qtf * MI/selfMI
+        (idf*qtf for the query term itself); aggregate, keep top-M, rescore
+        as weighted BM25. Requires store_docvecs=True."""
+        import random as _random
+
+        import math
+
+        q_tokens = self.analyzer.analyze(query_text)
+        if not q_tokens:
+            return [], np.array([], dtype=np.float32)
+        docids, _ = self.search(query_text, k=rerank_cutoff, adjust_ties=False)
+        N_docs = self.manifest.doc_count
+
+        # pool: top R + seeded random ordinals
+        pool: set[int] = set()
+        ord_by_docid = {}
+        for d in docids[:r_top]:
+            for rd in self.readers:
+                lo = rd.docid_to_local(d)
+                if lo is not None:
+                    g = rd.base_ord + lo
+                    pool.add(g)
+                    ord_by_docid[d] = g
+                    break
+        target = r_top * n_factor
+        rng = _random.Random(seed)
+        # dense ordinals but segments may be partially filled only at the
+        # tail; all ordinals < doc_count are valid by construction
+        while len(pool) < min(target, N_docs):
+            pool.add(rng.randrange(N_docs))
+
+        # small inverted list over the pool
+        inv: dict[str, set[int]] = {}
+        for g in pool:
+            for term in self.doc_vector_by_ord(g):
+                inv.setdefault(term, set()).add(g)
+        all_pool_docs = set()
+        for s_ in inv.values():
+            all_pool_docs |= s_
+        total = len(all_pool_docs)
+
+        def mi(sx: set, sy: set) -> float:
+            x1, y1 = len(sx), len(sy)
+            x0, y0 = total - x1, total - y1
+            if x1 == 0 or x0 == 0 or y1 == 0 or y0 == 0:
+                return 0.0
+            px0, px1 = np.float32(x0 / total), np.float32(x1 / total)
+            py0, py1 = np.float32(y0 / total), np.float32(y1 / total)
+            n11 = len(sx & sy)
+            n10 = x1 - n11
+            n01 = y1 - n11
+            n00 = total - n11 - n10 - n01
+            p11, p10 = np.float32(n11 / total), np.float32(n10 / total)
+            p01, p00 = np.float32(n01 / total), np.float32(n00 / total)
+            out = 0.0
+            if p00 != 0:
+                out += float(p00) * math.log(float(p00) / float(px0 * py0))
+            if p01 != 0:
+                out += float(p01) * math.log(float(p01) / float(px0 * py1))
+            if p10 != 0:
+                out += float(p10) * math.log(float(p10) / float(px1 * py0))
+            if p11 != 0:
+                out += float(p11) * math.log(float(p11) / float(px1 * py1))
+            return out
+
+        q_counts: dict[str, int] = {}
+        for t in q_tokens:
+            q_counts[t] = q_counts.get(t, 0) + 1
+        agg: dict[str, float] = {}
+        for q_term, qtf in q_counts.items():
+            df = self._global_df(q_term)
+            if df <= 0 or q_term not in inv:
+                continue
+            idf_q = float(np.float32(math.log((1 + N_docs) / df)))
+            self_mi = mi(inv[q_term], inv[q_term])
+            scored = []
+            for term, s_ in inv.items():
+                if term == q_term:
+                    score = idf_q * qtf
+                else:
+                    score = (
+                        idf_q * beta * qtf * mi(inv[q_term], s_) / self_mi
+                        if self_mi != 0
+                        else 0.0
+                    )
+                scored.append((term, score))
+            scored.sort(key=lambda ts: (-ts[1], ts[0].lower()))
+            for term, score in scored[: max(m_terms, k_terms)]:
+                if score > 1e-8:
+                    agg[term] = agg.get(term, 0.0) + score
+        if not agg:
+            return self.search(query_text, k, adjust_ties)
+        final = sorted(
+            ((t, s_ / len(q_tokens)) for t, s_ in agg.items()),
+            key=lambda ts: (-ts[1], ts[0].lower()),
+        )[:m_terms]
+        return self.search_weighted(final, k=k, adjust_ties=adjust_ties)
+
     def search_sdm(
         self,
         query_text: str,
