@@ -185,6 +185,9 @@ class TokenizeDocs:
             tfs_col,
         ]
         names = ["conv_id", "turn_idx", "dl", "terms", "tfs"]
+        if "ts" in batch.column_names:
+            cols.append(batch["ts"].take(pa.array(idx)))
+            names.append("ts")
         if positions:
             inner = pa.ListArray.from_arrays(
                 pa.array(np.asarray(pos_inner_off, dtype=np.int32)),
@@ -604,16 +607,18 @@ def build_index(
     def project_docmap(batch: pa.Table) -> pa.Table:
         ords = batch["doc_ord"].to_numpy()
         segs = pa.array((ords >> seg_shift).astype(np.int64))
-        return pa.Table.from_arrays(
-            [
-                batch["doc_ord"],
-                batch["conv_id"],
-                batch["turn_idx"],
-                batch["dl"],
-                segs,
-            ],
-            names=["doc_ord", "conv_id", "turn_idx", "dl", "segment_id"],
-        )
+        cols = [
+            batch["doc_ord"],
+            batch["conv_id"],
+            batch["turn_idx"],
+            batch["dl"],
+            segs,
+        ]
+        names = ["doc_ord", "conv_id", "turn_idx", "dl", "segment_id"]
+        if "ts" in batch.column_names:
+            cols.append(batch["ts"])
+            names.append("ts")
+        return pa.Table.from_arrays(cols, names=names)
 
     # with_ords is backed by already-computed object refs, so consuming the
     # docmap projection twice (write + stats) just re-runs a trivial map —

@@ -94,7 +94,7 @@ class LocalSearcher:
         return list(counts.items())
 
     def _segment_topk(
-        self, reader: SegmentReader, clauses, k: int
+        self, reader: SegmentReader, clauses, k: int, ts_range: tuple | None = None
     ) -> list[tuple[str, float]]:
         N = self.params.doc_count
         dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
@@ -120,6 +120,15 @@ class LocalSearcher:
             acc[ords] += contrib
             touched[ords] = True
         cand = np.flatnonzero(touched)
+        if ts_range is not None and cand.size:
+            if reader.ts is None:
+                raise ValueError(
+                    "index docmap has no ts column — build from input that "
+                    "includes ts to use ts_range filters"
+                )
+            lo, hi = ts_range
+            tsv = reader.ts[cand]
+            cand = cand[(tsv >= lo) & (tsv <= hi)]
         if cand.size == 0:
             return []
         scores = acc[cand]
@@ -245,12 +254,27 @@ class LocalSearcher:
         order = sorted(range(cand.size), key=lambda i: (-scores[i], docids[i]))
         return [(docids[i], float(scores[i])) for i in order[:k]]
 
-    def search(self, query_text: str, k: int = DEFAULT_K, adjust_ties: bool = True):
+    def search(
+        self,
+        query_text: str,
+        k: int = DEFAULT_K,
+        adjust_ties: bool = True,
+        ts_range: tuple | None = None,
+    ):
+        """ts_range=(lo_us, hi_us) adds a non-scoring timestamp FILTER over
+        doc metadata (reference analog: the tweet LongPoint range clause,
+        SearchCollection.java:575-582); requires ts in the index docmap."""
         clauses = self._clauses(query_text)
         per_seg = []
         if clauses:
             fn = self._segment_topk_pruned if self.prune else self._segment_topk
-            per_seg = [fn(r, clauses, k) for r in self.readers]
+            if ts_range is not None:
+                per_seg = [
+                    self._segment_topk(r, clauses, k, ts_range=ts_range)
+                    for r in self.readers
+                ]
+            else:
+                per_seg = [fn(r, clauses, k) for r in self.readers]
         hits = _merge_ranked(per_seg, k)
         docids = [h[0] for h in hits]
         scores = np.array([h[1] for h in hits], dtype=np.float32)

@@ -70,14 +70,19 @@ class SegmentReader:
             i = j
 
         dm = pq.read_table(
-            os.path.join(index_dir, "docmap", f"segment_id={segment_id}"),
-            columns=["doc_ord", "conv_id", "turn_idx", "dl"],
+            os.path.join(index_dir, "docmap", f"segment_id={segment_id}")
         )
         dorder = pc.sort_indices(dm["doc_ord"])
         dm = dm.take(dorder)
         self.doc_count = dm.num_rows
         self._conv_id = dm["conv_id"].combine_chunks()
         self._turn_idx = dm["turn_idx"].to_numpy()
+        # optional per-doc timestamps (tweet time-filter analog)
+        self.ts = (
+            dm["ts"].cast(pa.int64()).to_numpy()
+            if "ts" in dm.column_names
+            else None
+        )
         self.dl_raw = dm["dl"].to_numpy().astype(np.int64)
         # norm modes: stock Lucene quantizes dl through SmallFloat byte4
         self.dl_lucene = quantize_lengths(self.dl_raw).astype(np.float32)

@@ -222,3 +222,36 @@ def test_searcher_stage_map_batches(ray_session, tmp_path_factory):
         sub = out[out.qid == qid].sort_values("rank")
         assert list(sub.doc_id) == d
         assert np.allclose(sub.score.to_numpy(), np.asarray(s), rtol=1e-6)
+
+
+def test_ts_range_filter(ray_session, tmp_path_factory):
+    """Non-scoring timestamp range filter (tweet time-filter analog)."""
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.sources import generate_transcripts
+
+    tmp = tmp_path_factory.mktemp("tsf")
+    p = str(tmp / "c.parquet")
+    table = generate_transcripts(300, seed=12)
+    pq.write_table(table, p)
+    idx = str(tmp / "idx")
+    build_index(ray.data.read_parquet(p), idx, IndexConfig(seg_shift=6), input_files=[p])
+    s = LocalSearcher(idx)
+    all_d, all_s = s.search("pipeline", k=300, adjust_ties=False)
+    ts = dict(
+        zip(
+            (f"{c}:{t}" for c, t in zip(table["conv_id"].to_pylist(), table["turn_idx"].to_pylist())),
+            table["ts"].cast(pa.int64()).to_pylist(),
+        )
+    )
+    lo = 1767225600_000000 + 50 * 1_000_000
+    hi = 1767225600_000000 + 150 * 1_000_000
+    fd, fs = s.search("pipeline", k=300, adjust_ties=False, ts_range=(lo, hi))
+    expected = [d for d in all_d if lo <= ts[d] <= hi]
+    assert set(fd) == set(expected)
+    # scores of surviving docs unchanged (FILTER is non-scoring)
+    m_all = dict(zip(all_d, all_s))
+    for d, sc in zip(fd, fs):
+        assert m_all[d] == sc
