@@ -36,6 +36,11 @@ class SegmentReader:
         self._index_dir = index_dir
         self._docvecs = None
         self._docid_to_local = None
+        # decoded-postings LRU (hot high-df terms dominate decode cost;
+        # bounded by total cached postings)
+        self._decode_cache: dict[str, tuple] = {}
+        self._decode_cache_postings = 0
+        self._decode_cache_limit = 4_000_000  # ~32 MB of int64+int32
 
         post = pq.read_table(
             os.path.join(index_dir, "postings", f"segment_id={segment_id}")
@@ -121,18 +126,30 @@ class SegmentReader:
             yield term, int(self._df[lo:hi].sum()), int(self._cf[lo:hi].sum())
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
-        """Decode full posting list -> (local doc ords int64, tfs int32)."""
+        """Decode full posting list -> (local doc ords int64, tfs int32);
+        memoized per reader up to a bounded number of cached postings."""
+        hit = self._decode_cache.get(term)
+        if hit is not None:
+            return hit
         r = self._term_range.get(term)
         if r is None:
             return None
         lo, hi = r
         if hi - lo == 1:
-            return self._decode_row(lo)
-        parts = [self._decode_row(i) for i in range(lo, hi)]
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
+            out = self._decode_row(lo)
+        else:
+            parts = [self._decode_row(i) for i in range(lo, hi)]
+            out = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        n = out[0].size
+        if self._decode_cache_postings + n > self._decode_cache_limit:
+            self._decode_cache.clear()
+            self._decode_cache_postings = 0
+        self._decode_cache[term] = out
+        self._decode_cache_postings += n
+        return out
 
     def _decode_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         df = int(self._df[i])
