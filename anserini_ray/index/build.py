@@ -63,7 +63,7 @@ from ..state.manifest import (
 )
 from .varint import varint_encode, varint_sizes
 
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2  # v2: pos_blob run column + optional ts in docmap
 BLOCK_SIZE = 128  # docs per impact block (block-max metadata granularity)
 BROADCAST_VOCAB_LIMIT = 2_000_000  # broadcast term stats below this; join above
 
