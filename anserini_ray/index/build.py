@@ -126,13 +126,29 @@ class TokenizeDocs:
     callable class). With store_positions, also emits per-(doc, term) token
     position lists (Lucene `-storePositions` analog,
     `J/index/IndexArgs.java:69-72`) — roughly doubles the tokenized payload,
-    enabling phrase/proximity queries."""
+    enabling phrase/proximity queries.
+
+    A doc whose analysis raises is DROPPED and counted, not fatal (reference
+    analog: per-doc exception -> error counter, IndexCollection.java:249-251
+    — except the reference loses the whole FILE; we lose one doc). Error
+    counts flow through an optional named counter actor."""
 
     def __init__(
-        self, analyzer_config: dict | None = None, store_positions: bool = False
+        self,
+        analyzer_config: dict | None = None,
+        store_positions: bool = False,
+        error_counter_name: str | None = None,
     ):
         self.analyzer_config = analyzer_config
         self.store_positions = store_positions
+        self.error_counter_name = error_counter_name
+
+    def _count_errors(self, n: int) -> None:
+        if n and self.error_counter_name:
+            try:
+                ray.get_actor(self.error_counter_name).add.remote(n)
+            except ValueError:
+                pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -149,12 +165,21 @@ class TokenizeDocs:
         pos_inner_off: list[int] = [0]
         from collections import Counter
 
+        n_errors = 0
         for i, text in enumerate(texts):
             if text is None or not text.strip():
                 keep[i] = False
                 continue
+            try:
+                if positions:
+                    toks, tok_pos = analyze_pos(text)
+                else:
+                    toks = analyze(text)
+            except Exception:
+                keep[i] = False
+                n_errors += 1
+                continue
             if positions:
-                toks, tok_pos = analyze_pos(text)
                 kept_dls.append(len(toks))
                 posmap: dict[str, list[int]] = {}
                 for t, p in zip(toks, tok_pos):
@@ -165,12 +190,12 @@ class TokenizeDocs:
                     flat_pos.extend(plist)
                     pos_inner_off.append(len(flat_pos))
             else:
-                toks = analyze(text)
                 kept_dls.append(len(toks))
                 counts = Counter(toks)  # C fast path
                 flat_terms.extend(counts.keys())
                 flat_tfs.extend(counts.values())
             offsets.append(len(flat_terms))
+        self._count_errors(n_errors)
         idx = np.flatnonzero(keep)
         off = pa.array(np.asarray(offsets, dtype=np.int32))
         terms_col = pa.ListArray.from_arrays(off, pa.array(flat_terms, type=pa.string()))
@@ -196,6 +221,18 @@ class TokenizeDocs:
             cols.append(pa.ListArray.from_arrays(off, inner))
             names.append("positions")
         return pa.Table.from_arrays(cols, names=names)
+
+
+@ray.remote
+class _ErrorCounter:
+    def __init__(self):
+        self.n = 0
+
+    def add(self, k: int) -> None:
+        self.n += k
+
+    def value(self) -> int:
+        return self.n
 
 
 @ray.remote
@@ -578,8 +615,10 @@ def build_index(
     prev_preserve = ds_ctx.execution_options.preserve_order
     ds_ctx.execution_options.preserve_order = True
     try:
+        err_name = f"anserini_err_{os.getpid()}_{abs(hash(index_dir)) % 10**8}"
+        err_counter = _ErrorCounter.options(name=err_name).remote()
         tokenized = transcripts.map_batches(
-            TokenizeDocs(config.analyzer, config.store_positions),
+            TokenizeDocs(config.analyzer, config.store_positions, err_name),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -824,6 +863,8 @@ def build_index(
              "num_terms": term_counts.get(sid, 0)}
         )
 
+    n_errors_total = int(ray.get(err_counter.value.remote()))
+    ray.kill(err_counter)
     manifest = IndexManifest(
         version=INDEX_FORMAT_VERSION,
         analyzer=make_analyzer(config.analyzer).config_fingerprint(),
@@ -836,9 +877,9 @@ def build_index(
         counters={
             "total_input": int(total_input),
             "indexed": doc_count,
-            "empty": int(total_input) - indexed_count,
+            "empty": int(total_input) - indexed_count - n_errors_total,
             "skipped": 0,
-            "errors": 0,
+            "errors": n_errors_total,
             "stage_secs": stage_secs,
         },
         segments=segments,

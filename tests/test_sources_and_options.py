@@ -255,3 +255,35 @@ def test_ts_range_filter(ray_session, tmp_path_factory):
     m_all = dict(zip(all_d, all_s))
     for d, sc in zip(fd, fs):
         assert m_all[d] == sc
+
+
+
+def test_tokenize_error_resilience():
+    """A doc whose analysis raises is dropped + counted, not fatal."""
+    import pyarrow as pa
+
+    from anserini_ray.index import build as B
+
+    class Boom:
+        def analyze(self, text):
+            if "poison" in text:
+                raise RuntimeError("bad doc")
+            return text.split()
+
+        def analyze_with_positions(self, text):
+            toks = self.analyze(text)
+            return toks, list(range(len(toks)))
+
+    key = (("stub", "boom"),)
+    B._ANALYZER_CACHE[key] = Boom()
+    tok = B.TokenizeDocs(dict(key))
+    batch = pa.table(
+        {
+            "conv_id": ["a", "b", "c"],
+            "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+            "text": ["fine doc", "poison doc", "another fine"],
+        }
+    )
+    out = tok(batch)
+    assert out.num_rows == 2
+    assert out["conv_id"].to_pylist() == ["a", "c"]
