@@ -164,6 +164,26 @@ def _mode_run(sf_dir: str, mode: str, k: int = 10):
     )
 
 
+def _ann_fake_words(sf_dir: str):
+    """Dense-vector retrieval through the inverted-index engine via
+    fake-words encoding (reference J/ann/fw) + Classic TF-IDF."""
+    import ray.data
+
+    from anserini_ray.pipelines.training_data import _query_vectors
+    from anserini_ray.stages.ann import build_fake_words_index, fake_words_topk
+    from anserini_ray.state import IndexManifest
+
+    files = [os.path.join(sf_dir, "embeddings.parquet")]
+    tag = hashlib.sha1(f"{sf_dir}|fw".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/anserini_ray_fw_{tag}"
+    try:
+        IndexManifest.read(index_dir)
+    except FileNotFoundError:
+        ds = ray.data.read_parquet(files[0], columns=["vec_id", "embedding"])
+        build_fake_words_index(ds, index_dir, input_files=files)
+    return fake_words_topk(index_dir, _query_vectors(sf_dir), k=5)
+
+
 def _ltr_features(sf_dir: str):
     """LTR feature rows for (benchmark query x its top-5 BM25 docs)."""
     import pyarrow as pa
@@ -231,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": TD.simhash_groups,
         "ann_lsh_topk": TD.ann_lsh_topk,
         "embedding_near_dup": TD.embedding_near_dup,
+        "ann_fake_words": _ann_fake_words,
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
         "bm25_rm3": lambda sf: _mode_run(sf, "rm3"),
         "bm25_prf": lambda sf: _mode_run(sf, "prf"),

@@ -184,6 +184,26 @@ class AxiomaticF2Log(Similarity):
         return score
 
 
+class ClassicTfIdf(Similarity):
+    """Lucene ClassicSimilarity (TF-IDF) as used by the reference's
+    fake-words ANN search (`ApproximateNearestNeighborSearch.java:140`):
+    sqrt(tf) * idf^2 / sqrt(dl), idf = 1 + ln(N/(df+1)). Formula-level
+    parity (norm quantization follows the engine's norm mode, not classic's
+    byte315 table)."""
+
+    name = "classic"
+
+    def term_scorer(self, count, gdf, gcf, stats):
+        idf = 1.0 + np.log(stats.N / (gdf + 1.0))
+
+        def score(tfs, dl):
+            dl64 = np.maximum(dl.astype(np.float64), 1.0)
+            s = np.sqrt(tfs.astype(np.float64)) * idf * idf / np.sqrt(dl64)
+            return (count * s).astype(np.float32)
+
+        return score
+
+
 _REGISTRY = {
     "qld": QLDirichlet,
     "qljm": QLJelinekMercer,
@@ -191,6 +211,7 @@ _REGISTRY = {
     "spl": IbSpl,
     "f2exp": AxiomaticF2Exp,
     "f2log": AxiomaticF2Log,
+    "classic": ClassicTfIdf,
 }
 
 

