@@ -400,6 +400,7 @@ class LocalSearcher:
         if not terms:
             return [], np.array([], dtype=np.float32)
         N = self.params.doc_count
+        SHIFT = np.int64(32)  # (doc_ord, position) -> single int64 key
         per_seg = []
         for r in self.readers:
             datas = []
@@ -413,41 +414,30 @@ class LocalSearcher:
             if not ok:
                 per_seg.append([])
                 continue
-            # intersect candidate ords across all terms
-            cand = datas[0][0]
-            for ords, *_ in datas[1:]:
-                cand = np.intersect1d(cand, ords, assume_unique=True)
-            if cand.size == 0:
+            # vectorized phrase walk: keys = doc<<32 | position; advancing a
+            # phrase step is ONE sorted intersect of (matched keys + delta)
+            # with the next term's keys — no per-candidate Python loop
+            def term_keys(data):
+                ords, tfs, flat, offs = data
+                docs = np.repeat(ords, tfs)
+                return (docs << SHIFT) | flat.astype(np.int64)
+
+            cur = term_keys(datas[0])
+            for data in datas[1:]:
+                nxt_keys = term_keys(data)
+                if slop == 0:
+                    cur = np.intersect1d(cur + 1, nxt_keys, assume_unique=True)
+                else:
+                    shifted = np.concatenate(
+                        [cur + d for d in range(1, 2 + slop)]
+                    )
+                    cur = np.intersect1d(np.unique(shifted), nxt_keys)
+                if cur.size == 0:
+                    break
+            if cur.size == 0:
                 per_seg.append([])
                 continue
-            # verify order/adjacency per candidate doc
-            matches = []
-            for ord_ in cand:
-                prev_pos = None
-                hit = True
-                for ords, tfs, flat, offs in datas:
-                    j = int(np.searchsorted(ords, ord_))
-                    pos = flat[offs[j] : offs[j + 1]]
-                    if prev_pos is None:
-                        prev_pos = pos.astype(np.int64)
-                        continue
-                    # next term must appear within (1, 1+slop] after some prev
-                    nxt = []
-                    ps = set(pos.tolist())
-                    for pp in prev_pos.tolist():
-                        for d in range(1, 2 + slop):
-                            if pp + d in ps:
-                                nxt.append(pp + d)
-                    if not nxt:
-                        hit = False
-                        break
-                    prev_pos = np.asarray(sorted(set(nxt)), dtype=np.int64)
-                if hit:
-                    matches.append(int(ord_))
-            if not matches:
-                per_seg.append([])
-                continue
-            m = np.asarray(matches, dtype=np.int64)
+            m = np.unique(cur >> SHIFT)
             dl = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
             acc = np.zeros(m.size, dtype=np.float32)
             counts: dict[str, int] = {}
@@ -626,8 +616,11 @@ class LocalSearcher:
         N = self.params.doc_count
         pairs = list(zip(terms, terms[1:]))
 
-        # phase 1: per-segment window match counts per doc
-        seg_pair_counts: list[dict] = []  # per reader: {pair: (ords, ord_c, unord_c)}
+        # phase 1: per-segment window match counts per doc — vectorized via
+        # (doc<<32 | position) keys: each window offset is one sorted
+        # intersect; per-doc counts via unique on the matched docs
+        SHIFT = np.int64(32)
+        seg_pair_counts: list[dict] = []  # per reader: {pair: (docs, ord_c, unord_c)}
         for r in self.readers:
             pc_map = {}
             for t1, t2 in pairs:
@@ -635,27 +628,36 @@ class LocalSearcher:
                 p2 = r.positions(t2)
                 if p1 is None or p2 is None:
                     continue
-                o1, _, f1, off1 = p1
-                o2, _, f2, off2 = p2
-                common, i1, i2 = np.intersect1d(
-                    o1, o2, assume_unique=True, return_indices=True
+                o1, tf1, f1, _ = p1
+                o2, tf2, f2, _ = p2
+                k1 = (np.repeat(o1, tf1) << SHIFT) | f1.astype(np.int64)
+                k2 = (np.repeat(o2, tf2) << SHIFT) | f2.astype(np.int64)
+
+                def doc_counts(matched):
+                    docs, cnt = np.unique(matched >> SHIFT, return_counts=True)
+                    return docs, cnt
+
+                om = np.intersect1d(k1 + 1, k2, assume_unique=True)
+                um_parts = [
+                    np.intersect1d(k1 + d, k2, assume_unique=True)
+                    for d in range(-(window - 1), window)
+                    if d != 0
+                ]
+                um = (
+                    np.concatenate(um_parts)
+                    if um_parts
+                    else np.empty(0, dtype=np.int64)
                 )
-                if common.size == 0:
+                if om.size == 0 and um.size == 0:
                     continue
-                ord_c = np.zeros(common.size, dtype=np.int32)
-                unord_c = np.zeros(common.size, dtype=np.int32)
-                for ci in range(common.size):
-                    a = f1[off1[i1[ci]] : off1[i1[ci] + 1]]
-                    bset = f2[off2[i2[ci]] : off2[i2[ci] + 1]]
-                    bs = set(bset.tolist())
-                    ord_c[ci] = sum(1 for p in a.tolist() if p + 1 in bs)
-                    unord_c[ci] = sum(
-                        1
-                        for p in a.tolist()
-                        for q in bset.tolist()
-                        if p != q and abs(int(p) - int(q)) < window
-                    )
-                pc_map[(t1, t2)] = (common, ord_c, unord_c)
+                od, oc = doc_counts(om)
+                ud, uc = doc_counts(um)
+                docs = np.union1d(od, ud)
+                ord_c = np.zeros(docs.size, dtype=np.int32)
+                unord_c = np.zeros(docs.size, dtype=np.int32)
+                ord_c[np.searchsorted(docs, od)] = oc
+                unord_c[np.searchsorted(docs, ud)] = uc
+                pc_map[(t1, t2)] = (docs, ord_c, unord_c)
             seg_pair_counts.append(pc_map)
 
         # global window dfs
