@@ -134,8 +134,14 @@ class IbSpl(Similarity):
         def score(tfs, dl):
             tfn = _tfn_h2(tfs, dl, avgdl, c)
             frac = tfn / (tfn + 1.0)
-            val = (np.power(lam, frac) - lam) / (1.0 - lam)
-            s = -np.log(np.maximum(val, 1e-12))
+            if lam >= 1.0:
+                # df == N makes the closed form 0/0; Lucene's observed output
+                # (reference golden TrecEndToEndTest spl run) equals the
+                # lambda->1 limit: -log(1 - tfn/(tfn+1))
+                s = -np.log(np.maximum(1.0 - frac, 1e-12))
+            else:
+                val = (np.power(lam, frac) - lam) / (1.0 - lam)
+                s = -np.log(np.maximum(val, 1e-12))
             return (count * np.maximum(s, 0.0)).astype(np.float32)
 
         return score

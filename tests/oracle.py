@@ -120,7 +120,10 @@ class BruteForceIndex:
                     lam = (gdf + 1.0) / (N + 1.0)
                     tfn = tf * m.log2(1 + c * avgdl / max(float(dl), 1.0))
                     frac = tfn / (tfn + 1.0)
-                    s = max(-m.log(max((lam ** frac - lam) / (1 - lam), 1e-12)), 0.0)
+                    if lam >= 1.0:
+                        s = max(-m.log(max(1.0 - frac, 1e-12)), 0.0)
+                    else:
+                        s = max(-m.log(max((lam ** frac - lam) / (1 - lam), 1e-12)), 0.0)
                 elif similarity == "f2exp":
                     s_, kk = params.get("s", 0.5), params.get("k", 0.35)
                     s = tf / (tf + s_ + s_ * dl / avgdl) * ((N + 1.0) / gdf) ** kk
