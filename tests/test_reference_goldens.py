@@ -126,3 +126,122 @@ def test_reference_whitelist_golden(ray_session, tmp_path_factory):
     docids = [d.removesuffix(":0") for d in docids]
     lines = format_trec_run("1", docids, scores, runtag="Anserini")
     assert lines == ["1 Q0 DOC222 1 0.372700 Anserini"], lines
+
+
+BIB_COLLECTION = "/root/reference/src/test/resources/sample_docs/bib/acl"
+BIB_GOLDEN_CONTENTS = {
+    "article-id": "this is the title. ",
+    "inproceedings-id": "this is the title. this is the abstract",
+    "proceedings-id": "this is the title. ",
+}
+# BibtexEndToEndTest.setSearchGroundTruth — note the genuine score tie
+# (0.073800 vs 0.073799): ties-adjust + docid tie-break exercised for real
+BIB_GOLDEN_RUNS = {
+    1: [
+        "1 Q0 article-id 1 0.073800 Anserini",
+        "1 Q0 proceedings-id 2 0.073799 Anserini",
+        "1 Q0 inproceedings-id 3 0.064200 Anserini",
+    ],
+    2: ["2 Q0 inproceedings-id 1 0.471600 Anserini"],
+}
+
+
+def test_bibtex_parser_matches_reference_contents():
+    from anserini_ray.sources.bibtex_collection import parse_bibtex
+
+    with open(f"{BIB_COLLECTION}/segment1.bib") as f:
+        got = dict(parse_bibtex(f.read()))
+    assert got == BIB_GOLDEN_CONTENTS
+
+
+def test_bibtex_reference_golden_runs(ray_session, tmp_path_factory):
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.search.ties import format_trec_run
+    from anserini_ray.sources.bibtex_collection import read_bibtex_collection
+    from anserini_ray.sources.topics import read_tsv_topics
+
+    tmp = tmp_path_factory.mktemp("golden_bib")
+    ds = read_bibtex_collection(BIB_COLLECTION)
+    index_dir = str(tmp / "idx")
+    m = build_index(ds, index_dir, IndexConfig(seg_shift=4), input_files=[])
+    assert m.doc_count == 3
+    s = LocalSearcher(index_dir)
+    topics = read_tsv_topics(
+        "/root/reference/src/test/resources/sample_topics/bibtex_topics.tsv"
+    )
+    for qid, text in topics:
+        docids, scores = s.search(text, k=1000)
+        docids = [d.removesuffix(":0") for d in docids]
+        lines = format_trec_run(str(qid), docids, scores, runtag="Anserini")
+        assert lines == BIB_GOLDEN_RUNS[qid], f"q{qid}: {lines}"
+
+
+CORE_COLLECTION = "/root/reference/src/test/resources/sample_docs/core"
+CORE_GOLDEN_RUNS = {
+    1: [
+        "1 Q0 coreDoc1 1 0.243200 Anserini",
+        "1 Q0 doi2 2 0.243199 Anserini",
+    ],
+    2: [
+        "2 Q0 coreDoc1 1 0.243200 Anserini",
+        "2 Q0 doi2 2 0.243199 Anserini",
+    ],
+    3: ["3 Q0 fullCoreDoc 1 0.534600 Anserini"],
+}
+
+
+def test_core_reference_golden_runs(ray_session, tmp_path_factory):
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.search.ties import format_trec_run
+    from anserini_ray.sources.core_collection import read_core_collection
+    from anserini_ray.sources.topics import read_tsv_topics
+
+    tmp = tmp_path_factory.mktemp("golden_core")
+    ds = read_core_collection(CORE_COLLECTION)
+    index_dir = str(tmp / "idx")
+    m = build_index(ds, index_dir, IndexConfig(seg_shift=4), input_files=[])
+    assert m.doc_count == 3  # CoreEndToEndTest ground truth
+    s = LocalSearcher(index_dir)
+    topics = read_tsv_topics(
+        "/root/reference/src/test/resources/sample_topics/core_topics.tsv"
+    )
+    for qid, text in topics:
+        docids, scores = s.search(text, k=1000)
+        docids = [d.removesuffix(":0") for d in docids]
+        lines = format_trec_run(str(qid), docids, scores, runtag="Anserini")
+        assert lines == CORE_GOLDEN_RUNS[qid], f"q{qid}: {lines}"
+
+
+ACL_COLLECTION = "/root/reference/src/test/resources/sample_docs/acl"
+ACL_GOLDEN_RUNS = {
+    1: [
+        "1 Q0 C00-1007 1 0.294000 Anserini",
+        "1 Q0 E17-1003 2 0.186100 Anserini",
+    ],
+    2: ["2 Q0 C00-1003 1 0.622700 Anserini"],
+}
+
+
+def test_acl_reference_golden_runs(ray_session, tmp_path_factory):
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.search.ties import format_trec_run
+    from anserini_ray.sources.acl_anthology import read_acl_anthology
+    from anserini_ray.sources.topics import read_tsv_topics
+
+    tmp = tmp_path_factory.mktemp("golden_acl")
+    ds = read_acl_anthology(ACL_COLLECTION)
+    index_dir = str(tmp / "idx")
+    m = build_index(ds, index_dir, IndexConfig(seg_shift=4), input_files=[])
+    assert m.doc_count == 3
+    s = LocalSearcher(index_dir)
+    topics = read_tsv_topics(
+        "/root/reference/src/test/resources/sample_topics/acl_topics.tsv"
+    )
+    for qid, text in topics:
+        docids, scores = s.search(text, k=1000)
+        docids = [d.removesuffix(":0") for d in docids]
+        lines = format_trec_run(str(qid), docids, scores, runtag="Anserini")
+        assert lines == ACL_GOLDEN_RUNS[qid], f"q{qid}: {lines}"
