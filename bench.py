@@ -161,29 +161,36 @@ def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
         corpus_files[0], columns=["conv_id", "turn_idx", "text"]
     ).limit(2000).map_batches(TokenizeDocs(None), batch_format="pyarrow").materialize()
 
-    index_dir = f"/tmp/anserini_ray_scale_{num_cpus}"
-    shutil.rmtree(index_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    m = build_index(
-        ray.data.read_parquet(
-            corpus_dir,
-            columns=["conv_id", "turn_idx", "text"],
-            # block count sized to the DATA (~50MB blocks), not the cpu
-            # count — oversized blocks hurt small clusters
-            override_num_blocks=max(128, 4 * num_cpus),
-        ),
-        index_dir,
-        IndexConfig(seg_shift=17, assume_sorted=True),
-        input_files=corpus_files,
-        total_input=n_turns,
-    )
-    dt = time.perf_counter() - t0
+    # best-of-2 trials: page-cache/worker warmup variance otherwise
+    # dominates the low-cpu run
+    best = None
+    for trial in range(2):
+        index_dir = f"/tmp/anserini_ray_scale_{num_cpus}"
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        m = build_index(
+            ray.data.read_parquet(
+                corpus_dir,
+                columns=["conv_id", "turn_idx", "text"],
+                # block count sized to the DATA (~50MB blocks), not the cpu
+                # count — oversized blocks hurt small clusters
+                override_num_blocks=max(128, 4 * num_cpus),
+            ),
+            index_dir,
+            IndexConfig(seg_shift=17, assume_sorted=True),
+            input_files=corpus_files,
+            total_input=n_turns,
+        )
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, m.counters["stage_secs"])
+    dt, stage_secs = best
     out = {
         "num_cpus": num_cpus,
         "turns": n_turns,
         "build_sec": round(dt, 2),
         "build_turns_per_sec": round(n_turns / dt, 1),
-        "stage_secs": m.counters["stage_secs"],
+        "stage_secs": stage_secs,
     }
     ray.shutdown()
     return out
