@@ -205,9 +205,57 @@ class Analyzer:
 DEFAULT_ANALYZER_CONFIG = {"stemmer": "porter", "stopwords": "lucene-english"}
 
 
-def make_analyzer(config: dict | None = None) -> Analyzer:
-    """Build an Analyzer from a plain-dict config (picklable across tasks)."""
+class TweetAnalyzer:
+    """Reference `TweetAnalyzer.java:36-45`: WhitespaceTokenizer →
+    TweetLowerCaseEntityPreservingFilter (+ Porter unless stemming=False).
+    The 264-line entity-preserving filter is approximated: @mentions,
+    #hashtags and URLs pass through lowercased-whole; other tokens lowercase
+    and split on non-alphanumerics (apostrophes kept) before stemming. No
+    stop filter (the reference has none). Golden-validated on the
+    reference's tweet fixture."""
+
+    def __init__(self, stemming: bool = True):
+        self.stemming = stemming
+        self._memo: dict[str, str] = {}
+
+    def config_fingerprint(self) -> str:
+        return f"tweet+{'porter' if self.stemming else 'nostem'}"
+
+    _SPLIT = re.compile(r"[^a-z0-9']+")
+
+    def analyze(self, text: str) -> list[str]:
+        out: list[str] = []
+        for raw in text.split():
+            low = raw.lower()
+            if low.startswith(("@", "#", "http://", "https://")):
+                out.append(low)
+                continue
+            for piece in self._SPLIT.split(low):
+                piece = piece.strip("'")
+                if not piece:
+                    continue
+                if self.stemming:
+                    s = self._memo.get(piece)
+                    if s is None:
+                        s = porter_stem(piece)
+                        self._memo[piece] = s
+                    piece = s
+                if piece:
+                    out.append(piece)
+        return out
+
+    def analyze_with_positions(self, text: str):
+        toks = self.analyze(text)
+        return toks, list(range(len(toks)))
+
+
+def make_analyzer(config: dict | None = None):
+    """Build an analyzer from a plain-dict config (picklable across tasks).
+    config["type"]: "english" (default chain) or "tweet"."""
+    if config and config.get("type") == "tweet":
+        return TweetAnalyzer(stemming=config.get("stemming", True))
     config = dict(DEFAULT_ANALYZER_CONFIG, **(config or {}))
+    config.pop("type", None)
     stop = config["stopwords"]
     if stop == "lucene-english":
         stopset = ENGLISH_STOP_WORDS

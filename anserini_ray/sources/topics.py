@@ -69,3 +69,27 @@ def read_trec_topics(path: str) -> dict[int, dict[str, str]]:
             "narrative": _clean(_NARR_RE.search(body)),
         }
     return dict(sorted(topics.items()))
+
+
+_MB_TOP = re.compile(r"<top>(.*?)</top>", re.S | re.I)
+_MB_NUM = re.compile(r"<num>\s*(?:Number:)?\s*MB(\d+)", re.I)
+_MB_QUERY = re.compile(r"<query>\s*(.*?)\s*</query>", re.S | re.I)
+_MB_TWEETTIME = re.compile(r"<querytweettime>\s*(\d+)\s*</querytweettime>", re.I)
+
+
+def read_microblog_topics(path: str) -> list[tuple[int, str, int]]:
+    """MicroblogTopicReader analog: -> [(qid, query, querytweettime)]."""
+    with open(path) as f:
+        raw = f.read()
+    out = []
+    for m in _MB_TOP.finditer(raw):
+        body = m.group(1)
+        num = _MB_NUM.search(body)
+        q = _MB_QUERY.search(body)
+        t = _MB_TWEETTIME.search(body)
+        if num and q:
+            out.append(
+                (int(num.group(1)), " ".join(q.group(1).split()),
+                 int(t.group(1)) if t else 2**62)
+            )
+    return sorted(out)

@@ -245,3 +245,57 @@ def test_acl_reference_golden_runs(ray_session, tmp_path_factory):
         docids = [d.removesuffix(":0") for d in docids]
         lines = format_trec_run(str(qid), docids, scores, runtag="Anserini")
         assert lines == ACL_GOLDEN_RUNS[qid], f"q{qid}: {lines}"
+
+
+TWEET_COLLECTION = "/root/reference/src/test/resources/sample_docs/tweets/collection1"
+TWEET_GOLDEN_CONTENTS = {
+    "3": "This tweet will be indexed thanks",
+    "5": "Can you think of more interesting contents",
+    "6": "We have some real contents here thanks",
+    "8": "test adding more tweet",
+}
+TWEET_GOLDEN_RUN = [
+    "1 Q0 5 1 0.614300 Anserini",
+    "1 Q0 3 2 0.364800 Anserini",
+]
+
+
+def test_tweet_parser_matches_reference_contents():
+    from anserini_ray.sources.tweet_collection import parse_tweets
+
+    got = {}
+    for name in ("tweets1.jsonl", "tweets2.jsonl"):
+        with open(f"{TWEET_COLLECTION}/{name}") as f:
+            got.update({i: c for i, _, c in parse_tweets(f, max_id=9)})
+    assert got == TWEET_GOLDEN_CONTENTS
+
+
+def test_tweet_reference_golden_run(ray_session, tmp_path_factory):
+    """TweetEndToEndTest: TweetAnalyzer (whitespace + entity-preserving +
+    Porter, NO stop filter), querytweettime filter via ts_range."""
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.search.ties import format_trec_run
+    from anserini_ray.sources.topics import read_microblog_topics
+    from anserini_ray.sources.tweet_collection import read_tweet_collection
+
+    tmp = tmp_path_factory.mktemp("golden_tweet")
+    ds = read_tweet_collection(TWEET_COLLECTION, max_id=9)
+    index_dir = str(tmp / "idx")
+    m = build_index(
+        ds,
+        index_dir,
+        IndexConfig(seg_shift=4, analyzer={"type": "tweet"}),
+        input_files=[],
+    )
+    assert m.doc_count == 4  # 9 objects - 3 deletes - 1 retweet - 1 maxId
+    s = LocalSearcher(index_dir, analyzer_config={"type": "tweet"})
+    topics = read_microblog_topics(
+        "/root/reference/src/test/resources/sample_topics/Microblog"
+    )
+    qid, query, tweettime = topics[0]
+    assert (qid, query, tweettime) == (1, "think tweet", 7)
+    docids, scores = s.search(query, k=1000, ts_range=(0, tweettime))
+    docids = [d.removesuffix(":0") for d in docids]
+    lines = format_trec_run(str(qid), docids, scores, runtag="Anserini")
+    assert lines == TWEET_GOLDEN_RUN, lines
