@@ -1,0 +1,217 @@
+"""Command-line entry points mirroring the reference's primary UX:
+
+  python -m anserini_ray.cli index  -input <parquet|jsonl|trec|bib|core|acl|tweets> \\
+      -collection {parquet,json,trec,bibtex,core,acl,tweets} -index <dir> \\
+      [-storePositions] [-storeDocvectors] [-optimize-для…]
+  python -m anserini_ray.cli search -index <dir> -topics <file> \\
+      -topicreader {tsvint,tsvstring,trec,microblog} -output <run.txt> \\
+      [-bm25 [-bm25.k1 K] [-bm25.b B] | -qld | -qljm | -inl2 | -spl | -f2exp | -f2log] \\
+      [-rm3] [-bm25prf] [-sdm] [-hits N] [-skipexists]
+
+(Reference analogs: `IndexCollection.main` args at IndexArgs.java,
+`SearchCollection.main` args at SearchArgs.java.) The CLI owns the Ray
+session (guarded init); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def _load_collection(path: str, kind: str, max_id):
+    import ray.data
+
+    if kind == "parquet":
+        return ray.data.read_parquet(path)
+    if kind == "json":
+        from .sources.json_collection import read_json_collection
+
+        return read_json_collection(path)
+    if kind == "trec":
+        from .sources.trec_collection import read_trec_collection
+
+        return read_trec_collection(path)
+    if kind == "bibtex":
+        from .sources.bibtex_collection import read_bibtex_collection
+
+        return read_bibtex_collection(path)
+    if kind == "core":
+        from .sources.core_collection import read_core_collection
+
+        return read_core_collection(path)
+    if kind == "acl":
+        from .sources.acl_anthology import read_acl_anthology
+
+        return read_acl_anthology(path)
+    if kind == "tweets":
+        from .sources.tweet_collection import read_tweet_collection
+
+        return read_tweet_collection(path, max_id=max_id)
+    raise SystemExit(f"unknown collection kind {kind!r}")
+
+
+def cmd_index(argv) -> int:
+    p = argparse.ArgumentParser(prog="anserini_ray index")
+    p.add_argument("-input", required=True)
+    p.add_argument("-index", required=True)
+    p.add_argument(
+        "-collection",
+        default="parquet",
+        choices=["parquet", "json", "trec", "bibtex", "core", "acl", "tweets"],
+    )
+    p.add_argument("-storePositions", action="store_true")
+    p.add_argument("-storeDocvectors", action="store_true")
+    p.add_argument("-stemmer", default="porter", choices=["porter", "none"])
+    p.add_argument("-keepStopwords", action="store_true")
+    p.add_argument("-uniqueDocid", action="store_true")
+    p.add_argument("-whitelist", default=None)
+    p.add_argument("-tweet.maxId", dest="tweet_max_id", type=int, default=None)
+    p.add_argument("-bm25.accurate", dest="accurate", action="store_true")
+    p.add_argument("-resume", action="store_true")
+    p.add_argument("-assumeSorted", action="store_true")
+    p.add_argument("-segShift", type=int, default=17)
+    p.add_argument("-threads", type=int, default=None, help="ray num_cpus")
+    a = p.parse_args(argv)
+
+    _init_ray(a.threads)
+    from .index import IndexConfig, build_index
+
+    analyzer = {"stemmer": a.stemmer}
+    if a.keepStopwords:
+        analyzer["stopwords"] = "none"
+    if a.collection == "tweets":
+        analyzer = {"type": "tweet"}
+    wl = None
+    if a.whitelist:
+        with open(a.whitelist) as f:
+            wl = {f"{line.strip()}:0" for line in f if line.strip()}
+    ds = _load_collection(a.input, a.collection, a.tweet_max_id)
+    m = build_index(
+        ds,
+        a.index,
+        IndexConfig(
+            seg_shift=a.segShift,
+            analyzer=analyzer,
+            norm_mode="accurate" if a.accurate else "lucene",
+            resume=a.resume,
+            assume_sorted=a.assumeSorted,
+            store_docvecs=a.storeDocvectors,
+            store_positions=a.storePositions,
+        ),
+        input_files=[],
+        whitelist=wl,
+        dedup_docids=a.uniqueDocid,
+    )
+    print(
+        f"indexed {m.doc_count} docs, {m.sum_total_tf} terms, "
+        f"{len(m.segments)} segments -> {a.index}"
+    )
+    print(f"counters: {m.counters}")
+    return 0
+
+
+def cmd_search(argv) -> int:
+    p = argparse.ArgumentParser(prog="anserini_ray search")
+    p.add_argument("-index", required=True)
+    p.add_argument("-topics", required=True)
+    p.add_argument(
+        "-topicreader",
+        default="tsvint",
+        choices=["tsvint", "tsvstring", "trec", "microblog"],
+    )
+    p.add_argument("-output", required=True)
+    p.add_argument("-hits", type=int, default=1000)
+    p.add_argument("-runtag", default="AnseriniRay")
+    for sim in ("bm25", "qld", "qljm", "inl2", "spl", "f2exp", "f2log"):
+        p.add_argument(f"-{sim}", action="store_true")
+    p.add_argument("-bm25.k1", dest="k1", type=float, default=0.9)
+    p.add_argument("-bm25.b", dest="b", type=float, default=0.4)
+    p.add_argument("-rm3", action="store_true")
+    p.add_argument("-bm25prf", action="store_true")
+    p.add_argument("-sdm", action="store_true")
+    p.add_argument("-searchtweets", action="store_true")
+    p.add_argument("-skipexists", action="store_true")
+    p.add_argument("-threads", type=int, default=None)
+    a = p.parse_args(argv)
+
+    from .search.runio import run_exists
+
+    if a.skipexists and run_exists(a.output):
+        print(f"run exists, skipping: {a.output}")
+        return 0
+
+    _init_ray(a.threads)
+    from .search import LocalSearcher
+    from .search.runio import write_run_file
+    from .search.ties import format_trec_run
+    from .sources import topics as T
+
+    tweettimes = {}
+    if a.topicreader == "tsvint":
+        topics = T.read_tsv_topics(a.topics)
+    elif a.topicreader == "tsvstring":
+        topics = T.read_tsv_string_topics(a.topics)
+    elif a.topicreader == "microblog":
+        mb = T.read_microblog_topics(a.topics)
+        topics = [(q, text) for q, text, _ in mb]
+        tweettimes = {q: t for q, _, t in mb}
+    else:
+        topics = [
+            (qid, t["title"]) for qid, t in T.read_trec_topics(a.topics).items()
+        ]
+
+    sim = next(
+        (s for s in ("qld", "qljm", "inl2", "spl", "f2exp", "f2log") if getattr(a, s)),
+        "bm25",
+    )
+    analyzer = {"type": "tweet"} if a.searchtweets else None
+    s = LocalSearcher(
+        a.index, k1=a.k1, b=a.b, similarity=sim, analyzer_config=analyzer
+    )
+    lines = []
+    for qid, text in topics:
+        if a.rm3:
+            d, sc = s.search_rm3(text, k=a.hits)
+        elif a.bm25prf:
+            d, sc = s.search_bm25prf(text, k=a.hits)
+        elif a.sdm:
+            d, sc = s.search_sdm(text, k=a.hits)
+        elif a.searchtweets and qid in tweettimes:
+            d, sc = s.search(text, k=a.hits, ts_range=(0, tweettimes[qid]))
+        else:
+            d, sc = s.search(text, k=a.hits)
+        lines.extend(format_trec_run(qid, d, sc, a.runtag))
+    write_run_file(a.output, lines)
+    print(f"wrote {len(lines)} lines for {len(topics)} topics -> {a.output}")
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("index", "search"):
+        print(__doc__)
+        return 2
+    if sys.argv[1] == "index":
+        return cmd_index(sys.argv[2:])
+    return cmd_search(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    import ray
+
+    code = main()
+    if ray.is_initialized():
+        ray.shutdown()
+    sys.exit(code)
