@@ -184,6 +184,78 @@ def _ann_fake_words(sf_dir: str):
     return fake_words_topk(index_dir, _query_vectors(sf_dir), k=5)
 
 
+def _slr_topk(sf_dir: str):
+    """Sparse-latent retrieval (the fork's signature subsystem) over the
+    embeddings table treated as sparse activations (negatives clipped)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.pipelines.training_data import _query_vectors
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+    from anserini_ray.state import IndexManifest
+
+    files = [os.path.join(sf_dir, "embeddings.parquet")]
+    tag = hashlib.sha1(f"{sf_dir}|slr".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/anserini_ray_slr_{tag}"
+    try:
+        IndexManifest.read(index_dir)
+    except FileNotFoundError:
+        ds = ray.data.read_parquet(files[0], columns=["vec_id", "embedding"])
+
+        def encode(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            col = batch["embedding"].combine_chunks()
+            flat = col.values.to_numpy(zero_copy_only=False)
+            dim = col.offsets[1].as_py()
+            m = np.maximum(flat.reshape(len(ids), dim), 0.0)
+            texts = [" ".join(f"{v:.4f}" for v in m[i]) for i in range(len(ids))]
+            n = len(ids)
+            return pa.Table.from_arrays(
+                [
+                    pa.array([f"vec-{int(i):010d}" for i in ids]),
+                    pa.array(np.zeros(n, dtype=np.int32)),
+                    pa.array(["vec"] * n),
+                    pa.array(texts),
+                    pa.array([""] * n),
+                    pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+                ],
+                schema=TRANSCRIPT_SCHEMA,
+            )
+
+        build_index(
+            ds.map_batches(encode, batch_format="pyarrow"),
+            index_dir,
+            IndexConfig(seg_shift=13, analyzer={"type": "slr", "precision": 2}),
+            input_files=files,
+        )
+    s = LocalSearcher(
+        index_dir, similarity="slr", sim_params={"precision": 2},
+        analyzer_config={"type": "slr", "precision": 2},
+    )
+    qids, ranks, docs, scores = [], [], [], []
+    for qi, vec in enumerate(_query_vectors(sf_dir)):
+        qtext = " ".join(f"{v:.4f}" for v in np.maximum(vec, 0.0))
+        d, sc = s.search_slr(qtext, k=5)
+        for r, (di, si) in enumerate(zip(d, sc)):
+            qids.append(qi)
+            ranks.append(r + 1)
+            docs.append(di)
+            scores.append(float(si))
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "query_idx": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.string()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def _ltr_features(sf_dir: str):
     """LTR feature rows for (benchmark query x its top-5 BM25 docs)."""
     import pyarrow as pa
@@ -252,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": TD.ann_lsh_topk,
         "embedding_near_dup": TD.embedding_near_dup,
         "ann_fake_words": _ann_fake_words,
+        "slr_topk": _slr_topk,
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
         "bm25_rm3": lambda sf: _mode_run(sf, "rm3"),
         "bm25_prf": lambda sf: _mode_run(sf, "prf"),

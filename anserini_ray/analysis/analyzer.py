@@ -249,11 +249,70 @@ class TweetAnalyzer:
         return toks, list(range(len(toks)))
 
 
+class SLRAnalyzer:
+    """Sparse Latent Retrieval analyzer — reference `SLRGenerator.java:120-133`
+    + `SLRTokenizer.java:183-196` (the fork's signature subsystem, README.md:
+    63-133): document contents are whitespace-separated activation values of
+    a sparse vector; nonzero dimension i becomes latent term zfill(i, 5)
+    with term frequency = the first `precision` decimal digits of the
+    activation (i.e. trunc(activation * 10^p); activations assumed in
+    [0, 1)). Scientific notation is normalized first
+    (`normalizeFloatFormat`, SLRGenerator.java:104-118)."""
+
+    TOKEN_LENGTH = 5
+
+    def __init__(self, precision: int = 2):
+        self.precision = precision
+
+    def config_fingerprint(self) -> str:
+        return f"slr+p{self.precision}"
+
+    @staticmethod
+    def _normalize(val: str) -> str:
+        v = val.lower()
+        if "e" not in v:
+            return v
+        mantissa, _, exp = v.partition("e")
+        e = int(exp)
+        digits = mantissa.replace(".", "").lstrip("-")
+        if e >= 0:  # reference handles only negative exponents; mirror that
+            return v
+        return "0." + "0" * (-e - 1) + digits
+
+    def analyze_with_tfs(self, text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        tfs: list[int] = []
+        for i, raw in enumerate(text.split()):
+            try:
+                if float(raw) == 0.0:
+                    continue
+            except ValueError:
+                continue
+            dec = self._normalize(raw)
+            _, _, frac = dec.partition(".")
+            frac = "".join(ch if ch.isdigit() else "0" for ch in frac)
+            frac = (frac + "0" * self.precision)[: self.precision]
+            tf = int(frac) if frac else 0
+            if tf >= 1:
+                terms.append(str(i).zfill(self.TOKEN_LENGTH))
+                tfs.append(tf)
+        return terms, tfs
+
+    def analyze(self, text: str) -> list[str]:
+        return self.analyze_with_tfs(text)[0]
+
+    def analyze_with_positions(self, text: str):
+        toks = self.analyze(text)
+        return toks, list(range(len(toks)))
+
+
 def make_analyzer(config: dict | None = None):
     """Build an analyzer from a plain-dict config (picklable across tasks).
     config["type"]: "english" (default chain) or "tweet"."""
     if config and config.get("type") == "tweet":
         return TweetAnalyzer(stemming=config.get("stemming", True))
+    if config and config.get("type") == "slr":
+        return SLRAnalyzer(precision=config.get("precision", 2))
     config = dict(DEFAULT_ANALYZER_CONFIG, **(config or {}))
     config.pop("type", None)
     stop = config["stopwords"]

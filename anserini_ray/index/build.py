@@ -155,6 +155,7 @@ class TokenizeDocs:
         _an = _process_analyzer(self.analyzer_config)
         analyze = _an.analyze
         analyze_pos = _an.analyze_with_positions
+        analyze_tfs = getattr(_an, "analyze_with_tfs", None)  # SLR-style
         keep = np.ones(len(texts), dtype=bool)
         kept_dls: list[int] = []
         flat_terms: list[str] = []
@@ -171,6 +172,16 @@ class TokenizeDocs:
                 keep[i] = False
                 continue
             try:
+                if analyze_tfs is not None:
+                    a_terms, a_tfs = analyze_tfs(text)
+                    if not a_terms:
+                        keep[i] = False
+                        continue
+                    kept_dls.append(int(sum(a_tfs)))
+                    flat_terms.extend(a_terms)
+                    flat_tfs.extend(a_tfs)
+                    offsets.append(len(flat_terms))
+                    continue
                 if positions:
                     toks, tok_pos = analyze_pos(text)
                 else:

@@ -715,6 +715,35 @@ class LocalSearcher:
             out_scores = adjust_score_ties(out_scores)
         return out_ids, out_scores
 
+    def search_slr(
+        self, query_text: str, k: int = DEFAULT_K, adjust_ties: bool = True
+    ):
+        """SLR retrieval (reference `SLRQueryGenerator.java:55-106`): the
+        query is whitespace-separated activation values; dimension i becomes
+        a weighted clause (zfill(i,5), activation); score = sparse dot
+        product via the "slr" similarity. Construct the searcher with
+        similarity="slr" (and sim_params={"precision": p} matching the
+        build)."""
+        if self.similarity != "slr":
+            raise ValueError('search_slr requires LocalSearcher(similarity="slr")')
+        clauses = []
+        for i, raw in enumerate(query_text.split()):
+            try:
+                v = float(raw)
+            except ValueError:
+                continue
+            if v != 0.0:
+                clauses.append((str(i).zfill(5), v))
+        if not clauses:
+            return [], np.array([], dtype=np.float32)
+        per_seg = [self._segment_topk(r, clauses, k) for r in self.readers]
+        hits = _merge_ranked(per_seg, k)
+        docids = [h[0] for h in hits]
+        scores = np.array([h[1] for h in hits], dtype=np.float32)
+        if adjust_ties:
+            scores = adjust_score_ties(scores)
+        return docids, scores
+
     def search_bm25prf(
         self,
         query_text: str,

@@ -210,6 +210,28 @@ class ClassicTfIdf(Similarity):
         return score
 
 
+class SlrDotProduct(Similarity):
+    """SLR sparse dot product (reference `SLRSimilarity.java:90-103`,
+    README.md:118-133): score = query_activation * tf / 10^precision, where
+    tf stores trunc(doc_activation * 10^precision). Collection stats are
+    irrelevant by design; the clause `count` carries the float query
+    activation."""
+
+    name = "slr"
+
+    def __init__(self, precision: int = 2):
+        self.divider = float(10 ** precision)
+
+    def term_scorer(self, count, gdf, gcf, stats):
+        q = float(count)
+        div = self.divider
+
+        def score(tfs, dl):
+            return (q * tfs.astype(np.float64) / div).astype(np.float32)
+
+        return score
+
+
 _REGISTRY = {
     "qld": QLDirichlet,
     "qljm": QLJelinekMercer,
@@ -218,6 +240,7 @@ _REGISTRY = {
     "f2exp": AxiomaticF2Exp,
     "f2log": AxiomaticF2Log,
     "classic": ClassicTfIdf,
+    "slr": SlrDotProduct,
 }
 
 
