@@ -62,3 +62,29 @@ def test_fallback_on_unsorted_input(ray_session, tmp_path_factory):
     for q in r_shuf:
         assert r_shuf[q][0] == r_ref[q][0], q
         assert np.array_equal(np.asarray(r_shuf[q][1]), np.asarray(r_ref[q][1]))
+
+
+def test_build_determinism(ray_session, tmp_path_factory):
+    """Two independent builds of the same corpus produce identical search
+    results AND identical ordinal assignment (data-derived, never
+    arrival-order)."""
+    import numpy as np
+
+    tmp = tmp_path_factory.mktemp("determ")
+    table = generate_transcripts(900, seed=19)
+    i1, m1 = _build(tmp, table, "d1", assume_sorted=True)
+    i2, m2 = _build(tmp, table, "d2", assume_sorted=True)
+    assert m1.doc_count == m2.doc_count
+    assert m1.counters["indexed"] == m2.counters["indexed"]
+    r1, r2 = _run_queries(i1), _run_queries(i2)
+    for q in r1:
+        assert r1[q][0] == r2[q][0]
+        assert np.array_equal(np.asarray(r1[q][1]), np.asarray(r2[q][1]))
+    from anserini_ray.search import LocalSearcher
+
+    s1, s2 = LocalSearcher(i1), LocalSearcher(i2)
+    for a, b in zip(s1.readers, s2.readers):
+        assert a.doc_id_strings(np.arange(a.doc_count)) == b.doc_id_strings(
+            np.arange(b.doc_count)
+        )
+        assert np.array_equal(a.dl_raw, b.dl_raw)
