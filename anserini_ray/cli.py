@@ -80,6 +80,7 @@ def cmd_index(argv) -> int:
     p.add_argument("-whitelist", default=None)
     p.add_argument("-tweet.maxId", dest="tweet_max_id", type=int, default=None)
     p.add_argument("-bm25.accurate", dest="accurate", action="store_true")
+    p.add_argument("-optimize", action="store_true")
     p.add_argument("-resume", action="store_true")
     p.add_argument("-assumeSorted", action="store_true")
     p.add_argument("-segShift", type=int, default=17)
@@ -115,6 +116,10 @@ def cmd_index(argv) -> int:
         whitelist=wl,
         dedup_docids=a.uniqueDocid,
     )
+    if a.optimize:
+        from .index import optimize_index
+
+        optimize_index(a.index)
     print(
         f"indexed {m.doc_count} docs, {m.sum_total_tf} terms, "
         f"{len(m.segments)} segments -> {a.index}"

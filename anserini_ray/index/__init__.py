@@ -1,4 +1,5 @@
 from .build import IndexConfig, TokenizeDocs, build_index
+from .optimize import optimize_index
 from .varint import (
     decode_postings,
     delta_decode,
@@ -9,7 +10,7 @@ from .varint import (
 )
 
 __all__ = [
-    "IndexConfig", "TokenizeDocs", "build_index",
+    "IndexConfig", "TokenizeDocs", "build_index", "optimize_index",
     "decode_postings", "delta_decode", "delta_encode",
     "encode_postings", "varint_decode", "varint_encode",
 ]

@@ -1,0 +1,103 @@
+"""Index optimization — the `-optimize` force-merge analog
+(`J/index/IndexCollection.java:860-862`: forceMerge(1)).
+
+A fresh build leaves each (segment, term) posting list as multiple
+varint sub-block runs (one per encode batch that touched the term).
+Readers handle that transparently, but run-per-batch granularity costs
+per-run decode overhead and parquet row fan-out. `optimize_index`
+compacts every posting list to a single run: one Ray groupby over the
+posting rows, decode + re-encode per group, atomic directory swap.
+Stats, docmap and docvecs are untouched (content is identical)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .build import _encode_term_run
+from .varint import varint_decode
+
+
+def _compact_group(group: pa.Table) -> pa.Table:
+    """One (segment_id, term): decode all runs, re-encode as one."""
+    order = np.argsort(group["first_local"].to_numpy(), kind="stable")
+    ords_parts, tf_parts = [], []
+    has_pos = "pos_blob" in group.column_names
+    pos_parts = []
+    for i in order:
+        i = int(i)
+        df = int(group["df"][i].as_py())
+        gaps = varint_decode(group["doc_blob"][i].as_py(), df)
+        ords_parts.append(np.cumsum(gaps, dtype=np.uint64))
+        tfs = varint_decode(group["tf_blob"][i].as_py(), df)
+        tf_parts.append(tfs)
+        if has_pos:
+            blob = group["pos_blob"][i].as_py()
+            if blob:
+                pos_parts.append((blob, int(tfs.sum())))
+    ords = np.concatenate(ords_parts)
+    tfs = np.concatenate(tf_parts)
+    # min_dl metadata must survive: reuse stored per-block min_dl by
+    # re-deriving per-posting dl upper bounds is impossible here, so carry a
+    # conservative per-posting dl = the run's min_dl expanded per block.
+    dls_parts = []
+    for i in order:
+        i = int(i)
+        bn = group["blk_n"][int(i)].values.to_numpy()
+        bmd = group["blk_min_dl"][int(i)].values.to_numpy()
+        dls_parts.append(np.repeat(bmd, bn))
+    dls = np.concatenate(dls_parts).astype(np.int32)
+    block_size = 128
+    (dblob, tblob, bf, bn, bmt, bmd, bdo, bto) = _encode_term_run(
+        ords, tfs, dls, block_size
+    )
+    pos_blob = b"".join(p for p, _ in pos_parts) if pos_parts else b""
+    return pa.Table.from_arrays(
+        [
+            pa.array([int(group["segment_id"][0].as_py())], type=pa.int64()),
+            pa.array([group["term"][0].as_py()], type=pa.string()),
+            pa.array([int(ords[0])], type=pa.int64()),
+            pa.array([int(ords.size)], type=pa.int64()),
+            pa.array([int(tfs.sum())], type=pa.int64()),
+            pa.array([int(tfs.max())], type=pa.int32()),
+            pa.array([dblob], type=pa.large_binary()),
+            pa.array([tblob], type=pa.large_binary()),
+            pa.array([bf], type=pa.list_(pa.int32())),
+            pa.array([bn], type=pa.list_(pa.int32())),
+            pa.array([bmt], type=pa.list_(pa.int32())),
+            pa.array([bmd], type=pa.list_(pa.int32())),
+            pa.array([bdo], type=pa.list_(pa.int32())),
+            pa.array([bto], type=pa.list_(pa.int32())),
+            pa.array([pos_blob], type=pa.large_binary()),
+        ],
+        names=[
+            "segment_id", "term", "first_local", "df", "cf", "max_tf",
+            "doc_blob", "tf_blob", "blk_first", "blk_n", "blk_max_tf",
+            "blk_min_dl", "blk_doc_off", "blk_tf_off", "pos_blob",
+        ],
+    )
+
+
+def optimize_index(index_dir: str, shuffle_partitions: int | None = 32) -> None:
+    post_dir = os.path.join(index_dir, "postings")
+    tmp_dir = os.path.join(index_dir, "postings.optimizing")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(post_dir)
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    nparts = min(shuffle_partitions or 32, max(2, avail))
+    (
+        ds.groupby(["segment_id", "term"], num_partitions=nparts)
+        .map_groups(_compact_group, batch_format="pyarrow")
+        .write_parquet(tmp_dir, partition_cols=["segment_id"])
+    )
+    old_dir = os.path.join(index_dir, "postings.old")
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.replace(post_dir, old_dir)
+    os.replace(tmp_dir, post_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
