@@ -2,7 +2,7 @@
 
   python -m anserini_ray.cli index  -input <parquet|jsonl|trec|bib|core|acl|tweets> \\
       -collection {parquet,json,trec,bibtex,core,acl,tweets} -index <dir> \\
-      [-storePositions] [-storeDocvectors] [-optimize-для…]
+      [-storePositions] [-storeDocvectors] [-optimize] [-resume]
   python -m anserini_ray.cli search -index <dir> -topics <file> \\
       -topicreader {tsvint,tsvstring,trec,microblog} -output <run.txt> \\
       [-bm25 [-bm25.k1 K] [-bm25.b B] | -qld | -qljm | -inl2 | -spl | -f2exp | -f2log] \\
