@@ -32,7 +32,7 @@ import pyarrow as pa
 FEATURE_NAMES = [
     "doc_size", "query_length", "matching_term_count", "unique_term_count",
     "sum_matching_tf", "bm25", "tfidf", "avg_idf", "avg_ictf", "scq",
-    "simplified_clarity", "ordered_pairs", "unordered_pairs",
+    "simplified_clarity", "ordered_pairs", "unordered_pairs", "pmi",
 ]
 
 
@@ -133,6 +133,27 @@ class LtrFeatureExtractor:
             p_c = gcf(t) / self.C
             sc += p_q * math.log(p_q / p_c, 2)
 
+        # PMI over query-term pairs: log(df12 * N / (df1 * df2)) from
+        # posting-list intersections (PMIFeatureExtractor analog), averaged
+        pmi = 0.0
+        uniq_list = sorted(uniq)
+        npairs = 0
+        for a_i in range(len(uniq_list)):
+            for b_i in range(a_i + 1, len(uniq_list)):
+                t1, t2 = uniq_list[a_i], uniq_list[b_i]
+                df12 = 0
+                for r in self.s.readers:
+                    p1, p2 = r.postings(t1), r.postings(t2)
+                    if p1 is None or p2 is None:
+                        continue
+                    df12 += int(
+                        np.intersect1d(p1[0], p2[0], assume_unique=True).size
+                    )
+                npairs += 1
+                if df12 > 0 and gdf(t1) > 0 and gdf(t2) > 0:
+                    pmi += math.log(df12 * self.N / (gdf(t1) * gdf(t2)))
+        pmi = pmi / npairs if npairs else 0.0
+
         ordered = unordered = 0.0
         if self._has_positions:
             posmap = self._doc_positions(docid)
@@ -155,7 +176,7 @@ class LtrFeatureExtractor:
         return [
             float(dl), float(len(qtoks)), float(len(matching)),
             float(len(dv)), sum_tf, float(bm25), float(tfidf), avg_idf,
-            avg_ictf, scq, sc, ordered, unordered,
+            avg_ictf, scq, sc, ordered, unordered, pmi,
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -315,3 +315,27 @@ def test_fake_words_ann(ray_session, tmp_path_factory):
         top = res[(res.query_idx == qi) & (res["rank"] == 1)].doc_id.iloc[0]
         assert top == f"vec-{qi:010d}:0"
     assert fake_words_text(np.array([0.05, -1.0, 0.0])) == "f1" * 4 or True
+
+
+
+def test_model_score_stage(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.model_scoring import ModelScoreStage
+
+    ds = ray.data.from_items([{"text": f"doc {i}"} for i in range(20)])
+    out = ds.map_batches(
+        ModelScoreStage, fn_constructor_args=("fake",), batch_format="pyarrow",
+        concurrency=1, batch_size=8,
+    ).take_all()
+    assert len(out) == 20 and len(out[0]["model_output"]) == 8
+    # deterministic across runs
+    again = ds.map_batches(
+        ModelScoreStage, fn_constructor_args=("fake",), batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert np.allclose(out[0]["model_output"], again[0]["model_output"])
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ModelScoreStage(model="nonexistent-model")
