@@ -8,10 +8,12 @@ Data streaming pipelines over zero-copy Arrow batches:
   possessive strip → lowercase → stop filter → Porter stem), golden-tested
   against the reference fixtures.
 - ``anserini_ray.index``     — distributed inverted-index build: map_batches
-  tokenize → deterministic doc-ordinal assignment → explode to (term, doc, tf)
-  → salted groupby-term shuffle → delta-gap + varint posting lists with
-  per-block max-score metadata → partitioned segment files + lineage
-  manifests (checkpoint-resume).
+  tokenize → deterministic doc-ordinal assignment (verified sorted fast
+  path) → in-batch explode + delta-gap varint encode of bounded
+  (segment, term) runs (hot-term skew structurally bounded, no postings
+  shuffle) → partitioned segment files with per-block max-score metadata +
+  lineage manifests (checkpoint-resume) + optional positions/forward-index
+  artifacts; optimize.py force-merge compaction.
 - ``anserini_ray.search``    — BM25 (k1=0.9, b=0.4) top-k retrieval with
   Lucene float32 parity, block-max pruning, deterministic docid tie-break and
   score ties-adjust; actor-pool segment searchers + TREC run output.

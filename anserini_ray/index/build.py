@@ -5,39 +5,43 @@ Streaming DAG:
 
   read_parquet(transcripts)                                  [pruned columns]
     → map_batches(TokenizeDocs)         per-doc (conv_id, turn_idx, dl,
-                                         terms, tfs); whitespace-empty docs
-                                         dropped + counted (reference analog:
-                                         EmptyDocumentException,
+                                         terms, tfs [, positions]);
+                                         whitespace-empty docs dropped +
+                                         counted, per-doc errors counted via
+                                         a named counter actor (reference
+                                         analog: EmptyDocumentException,
                                          DefaultLuceneDocumentGenerator.java:64-66)
-    → sort(conv_id, turn_idx)           deterministic doc-ordinal order
-                                        (tie-break parity: ScoredDocuments are
-                                         later sorted by docid string,
-                                         SearchCollection.java:115-116)
+    → [sort(conv_id, turn_idx)]         SKIPPED on the assume_sorted fast
+                                        path (order verified block-by-block,
+                                        automatic fallback); tie-break parity:
+                                        results are later sorted by docid
+                                        string (SearchCollection.java:115-116)
     → ordinal assignment                per-block prefix-sum offsets (driver
                                         holds ONE int per block, never rows)
     → map_batches(encode_subblocks)     explode to postings and IMMEDIATELY
                                         delta-gap + varint encode per
-                                        (segment, term) *within the batch*.
-                                        Sorted blocks are disjoint contiguous
-                                        ordinal ranges, so sub-blocks never
-                                        overlap — this is the explicit
-                                        hot-term skew handling: a term with
-                                        huge df is split into bounded
-                                        sub-blocks by doc range, and the wide
-                                        shuffle below moves compressed bytes,
-                                        not raw postings.
-    → sort(segment_id, term)            locality sort of the compressed
-                                        sub-block rows (tiny vs. corpus);
-                                        rows ARE the on-disk posting format —
-                                        readers concat a term's rows, so no
-                                        merge/re-encode stage exists.
-                                        Per-block (≤128 docs) max-tf / min-dl
-                                        impact metadata for block-max pruning
-    → write_parquet(partition_cols=[segment_id])    posting segments
-  + docmap  (doc_ord, conv_id, turn_idx, dl)        partitioned by segment
-  + termstats (term, global df, global cf)          per segment: vectorized
-                                        groupby aggregates + one hash join
-  + manifests                           per-segment lineage + global stats;
+                                        (segment, term) run *within the
+                                        batch*. Sorted blocks are disjoint
+                                        contiguous ordinal ranges, so runs
+                                        never overlap — hot-term skew is
+                                        bounded by encode batch size by
+                                        construction, with NO postings
+                                        shuffle at all. Runs store their
+                                        absolute first ordinal and ARE the
+                                        on-disk posting format (readers
+                                        concatenate a term's runs; see
+                                        optimize.py for the force-merge
+                                        compaction). Per-block (≤128 docs)
+                                        max-tf / min-dl impact metadata for
+                                        block-max pruning.
+    → write_parquet(partition_cols=[segment_id])    streamed — no
+                                        materialize, no sort
+  + docmap  (doc_ord, conv_id, turn_idx, dl[, ts])  partitioned by segment
+  + docvecs (optional forward index for PRF)        partitioned by segment
+  + termstats (term, global df, global cf)          ONE sort-based
+                                        groupby(term) + broadcast map-side
+                                        join (hash join above a vocab cap)
+  + manifests                           per-segment lineage + stage timings;
                                         resume skips finished segments.
 """
 
