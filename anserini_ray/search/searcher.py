@@ -892,9 +892,13 @@ def _make_segment_actor():
 
     @ray.remote
     class SegmentSearchActor:
-        def __init__(self, index_dir, segment_ids, k1, b, mode, analyzer_config, prune):
+        def __init__(
+            self, index_dir, segment_ids, k1, b, mode, analyzer_config, prune,
+            similarity="bm25", sim_params=None,
+        ):
             self.local = LocalSearcher(
-                index_dir, segment_ids, k1, b, mode, analyzer_config, prune
+                index_dir, segment_ids, k1, b, mode, analyzer_config, prune,
+                similarity=similarity, sim_params=sim_params,
             )
 
         def search_many(self, queries, k):
@@ -928,6 +932,8 @@ class Searcher:
         mode: str | None = None,
         analyzer_config: dict | None = None,
         prune: bool = False,
+        similarity: str = "bm25",
+        sim_params: dict | None = None,
     ):
         self.manifest = IndexManifest.read(index_dir)
         seg_ids = [s["segment_id"] for s in self.manifest.segments]
@@ -935,7 +941,10 @@ class Searcher:
         groups = [seg_ids[i::n] for i in range(n)]
         Actor = _make_segment_actor()
         self.actors = [
-            Actor.remote(index_dir, g, k1, b, mode, analyzer_config, prune)
+            Actor.remote(
+                index_dir, g, k1, b, mode, analyzer_config, prune,
+                similarity, sim_params,
+            )
             for g in groups
             if g
         ]
