@@ -6,7 +6,24 @@ from .transcripts import (
     write_synthetic_corpus,
 )
 
+from .acl_anthology import read_acl_anthology
+from .bibtex_collection import read_bibtex_collection
+from .core_collection import read_core_collection
+from .json_collection import read_json_collection
+from .topics import (
+    read_microblog_topics,
+    read_trec_topics,
+    read_tsv_string_topics,
+    read_tsv_topics,
+)
+from .trec_collection import read_trec_collection
+from .tweet_collection import read_tweet_collection
+
 __all__ = [
     "TRANSCRIPT_SCHEMA", "TRANSCRIPTS_SQL", "generate_transcripts",
     "transcripts_from_documents", "write_synthetic_corpus",
+    "read_json_collection", "read_trec_collection", "read_bibtex_collection",
+    "read_core_collection", "read_acl_anthology", "read_tweet_collection",
+    "read_tsv_topics", "read_tsv_string_topics", "read_trec_topics",
+    "read_microblog_topics",
 ]
