@@ -162,11 +162,11 @@ def bm25_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
     set; postings never leave their batch unscored."""
     ds = exploded_terms(sf_dir).materialize()
 
-    # collection stats + per-query-term df (small: bounded by query vocab)
-    n_docs = ds.groupby("doc_id").aggregate(Count()).count()
-    sum_dl = (
-        ds.groupby("doc_id").aggregate(Max("dl")).sum("max(dl)")
-    )
+    # collection stats in ONE groupby job (count = rows, sum_dl via Max
+    # since dl repeats per exploded term row)
+    per_doc = ds.groupby("doc_id").aggregate(Max("dl")).materialize()
+    n_docs = per_doc.count()
+    sum_dl = per_doc.sum("max(dl)")
     avgdl = sum_dl / n_docs
     clauses = _query_clauses(queries)
     qterms = {t for _, t, _ in clauses}
