@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": TD.token_counts,
         "ann_cosine_topk": TD.ann_cosine_topk,
         "events_windowed": TD.events_windowed,
+        "events_by_type": TD.events_by_type,
+        "top_users_by_events": TD.top_users_by_events,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "token_counts_analyzed": TD.token_counts_analyzed,
         "lang_id": TD.lang_id,
@@ -357,4 +359,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": TD.TOKEN_COUNTS_SQL,
         "ann_cosine_topk": TD.ANN_COSINE_SQL,
         "events_windowed": TD.EVENTS_WINDOWED_SQL,
+        "events_by_type": TD.EVENTS_BY_TYPE_SQL,
+        "top_users_by_events": TD.TOP_USERS_SQL,
     }

@@ -250,3 +250,49 @@ EVENTS_WINDOWED_SQL = """
            count(*) AS n_events, round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ generic event aggregates
+def events_by_type(sf_dir: str):
+    """Count / sum / mean value per event_type (generic aggregate surface)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    agg = ds.groupby("event_type").aggregate(Count(), Sum("value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = batch.rename_columns(["event_type", "n_events", "sum_value"])
+        rounded = pa.array(np.round(out["sum_value"].to_numpy(), 4))
+        return out.set_column(2, "sum_value", rounded)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_BY_TYPE_SQL = """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+def top_users_by_events(sf_dir: str, k: int = 20):
+    """Top-k users by event count (count desc, user_id asc)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    agg = ds.groupby("user_id").aggregate(Count())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "n_events"])
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_USERS_SQL = """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 20
+"""
