@@ -129,7 +129,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     return result
 
 
-SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "32000000"))
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "8000000"))
 
 
 def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
