@@ -191,3 +191,38 @@ def test_similarity_family_matches_oracle(built_index, similarity):
         got = np.array(scores, dtype=np.float32)
         want = np.array([sc for _, sc in expected], dtype=np.float32)
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
+def test_resume_with_optional_artifacts(ray_session, tmp_path_factory):
+    """Resume keeps docvecs/positions artifacts consistent too."""
+    import shutil
+
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+
+    tmp = tmp_path_factory.mktemp("resume_full")
+    p = str(tmp / "c.parquet")
+    table = generate_transcripts(800, seed=13)
+    pq.write_table(table, p)
+    idx = str(tmp / "idx")
+    cfg = dict(seg_shift=8, store_docvecs=True, store_positions=True)
+    ds = ray.data.read_parquet(p, columns=["conv_id", "turn_idx", "text"])
+    m = build_index(ds, idx, IndexConfig(**cfg), input_files=[p])
+    s0 = LocalSearcher(idx)
+    before = s0.search_rm3("merge sort", k=15, adjust_ties=False)
+    phrase_before = s0.phrase_search("merge sort", k=10, adjust_ties=False)
+
+    victim = m.segments[1]["segment_id"]
+    os.unlink(os.path.join(idx, "manifests", f"seg-{victim:06d}.json"))
+    for sub in ("postings", "docmap", "docvecs"):
+        shutil.rmtree(os.path.join(idx, sub, f"segment_id={victim}"))
+
+    ds = ray.data.read_parquet(p, columns=["conv_id", "turn_idx", "text"])
+    build_index(ds, idx, IndexConfig(**cfg, resume=True), input_files=[p])
+    s1 = LocalSearcher(idx)
+    after = s1.search_rm3("merge sort", k=15, adjust_ties=False)
+    assert before[0] == after[0]
+    assert np.array_equal(np.asarray(before[1]), np.asarray(after[1]))
+    assert phrase_before[0] == s1.phrase_search("merge sort", k=10, adjust_ties=False)[0]
