@@ -44,6 +44,20 @@ def _load_collection(path: str, kind: str, max_id):
         from .sources.trec_collection import read_trec_collection
 
         return read_trec_collection(path)
+    if kind == "trecweb":
+        from .sources.web_collections import read_trecweb_collection
+
+        return read_trecweb_collection(path)
+    if kind == "cleantrec":
+        from .sources.web_collections import read_clean_trec_collection
+
+        return read_clean_trec_collection(path)
+    if kind in ("cw09", "cw12"):
+        from .sources.web_collections import read_clueweb_collection
+
+        return read_clueweb_collection(
+            path, version="WARC/1.0" if kind == "cw12" else "WARC/0.18"
+        )
     if kind == "bibtex":
         from .sources.bibtex_collection import read_bibtex_collection
 
@@ -70,7 +84,8 @@ def cmd_index(argv) -> int:
     p.add_argument(
         "-collection",
         default="parquet",
-        choices=["parquet", "json", "trec", "bibtex", "core", "acl", "tweets"],
+        choices=["parquet", "json", "trec", "trecweb", "cleantrec", "cw09",
+                 "cw12", "bibtex", "core", "acl", "tweets"],
     )
     p.add_argument("-storePositions", action="store_true")
     p.add_argument("-storeDocvectors", action="store_true")

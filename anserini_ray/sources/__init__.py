@@ -17,6 +17,11 @@ from .topics import (
     read_tsv_topics,
 )
 from .trec_collection import read_trec_collection
+from .web_collections import (
+    read_clean_trec_collection,
+    read_clueweb_collection,
+    read_trecweb_collection,
+)
 from .tweet_collection import read_tweet_collection
 
 __all__ = [
@@ -26,4 +31,6 @@ __all__ = [
     "read_core_collection", "read_acl_anthology", "read_tweet_collection",
     "read_tsv_topics", "read_tsv_string_topics", "read_trec_topics",
     "read_microblog_topics",
+    "read_trecweb_collection", "read_clean_trec_collection",
+    "read_clueweb_collection",
 ]
