@@ -52,6 +52,14 @@ def _load_collection(path: str, kind: str, max_id):
         from .sources.web_collections import read_clean_trec_collection
 
         return read_clean_trec_collection(path)
+    if kind == "nyt":
+        from .sources.nyt_collection import read_nyt_collection
+
+        return read_nyt_collection(path)
+    if kind == "wapo":
+        from .sources.wapo_collection import read_wapo_collection
+
+        return read_wapo_collection(path)
     if kind in ("cw09", "cw12"):
         from .sources.web_collections import read_clueweb_collection
 
@@ -85,7 +93,7 @@ def cmd_index(argv) -> int:
         "-collection",
         default="parquet",
         choices=["parquet", "json", "trec", "trecweb", "cleantrec", "cw09",
-                 "cw12", "bibtex", "core", "acl", "tweets"],
+                 "cw12", "wapo", "nyt", "bibtex", "core", "acl", "tweets"],
     )
     p.add_argument("-storePositions", action="store_true")
     p.add_argument("-storeDocvectors", action="store_true")

@@ -23,6 +23,8 @@ from .web_collections import (
     read_trecweb_collection,
 )
 from .tweet_collection import read_tweet_collection
+from .nyt_collection import read_nyt_collection
+from .wapo_collection import read_wapo_collection
 
 __all__ = [
     "TRANSCRIPT_SCHEMA", "TRANSCRIPTS_SQL", "generate_transcripts",
@@ -32,5 +34,5 @@ __all__ = [
     "read_tsv_topics", "read_tsv_string_topics", "read_trec_topics",
     "read_microblog_topics",
     "read_trecweb_collection", "read_clean_trec_collection",
-    "read_clueweb_collection",
+    "read_clueweb_collection", "read_wapo_collection", "read_nyt_collection",
 ]

@@ -70,3 +70,32 @@ def test_trecweb_end_to_end(ray_session, tmp_path_factory):
     s = LocalSearcher(idx)
     d, _ = s.search("asdf", k=5)
     assert set(d) == {"WEB-0001:0", "WEB-0003:0"}
+
+
+def test_wapo_matches_reference():
+    from anserini_ray.sources.wapo_collection import parse_wapo
+
+    with open(f"{SAMPLES}/washingtonpost/collection1/articles.jl") as f:
+        docs = parse_wapo(f)
+    by_id = {d: c for d, c, _ in docs}
+    expected = (
+        "Controlled exposure to light can ease jet lag’s effects before and after a trip\n"
+        "National\n"
+        "Using light to help reset your body clock\n"
+        "When traveling east:\n"
+        "A few days before you leave, start exposing yourself to bright light in the morning.\n"
+        "When traveling west:\n"
+        "When you arrive, expose yourself to light during the evening hours.\n"
+    )
+    assert by_id["5f992bbc-4b9f-11e2-a6a6-aabac85e8036"] == expected
+
+
+def test_nyt_matches_reference():
+    from anserini_ray.sources.nyt_collection import parse_nyt_xml
+
+    with open(f"{SAMPLES}/nyt/collection1/segment1.xml") as f:
+        doc_id, contents = parse_nyt_xml(f.read())
+    assert doc_id == "12345678"
+    assert contents == (
+        "Article Title\nArticle abstract.\nFirst paragraph.\nSecond paragraph."
+    )
