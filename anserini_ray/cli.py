@@ -52,6 +52,10 @@ def _load_collection(path: str, kind: str, max_id):
         from .sources.web_collections import read_clean_trec_collection
 
         return read_clean_trec_collection(path)
+    if kind == "wikipedia":
+        from .sources.wikipedia_collection import read_wikipedia_collection
+
+        return read_wikipedia_collection(path)
     if kind == "nyt":
         from .sources.nyt_collection import read_nyt_collection
 
@@ -93,7 +97,8 @@ def cmd_index(argv) -> int:
         "-collection",
         default="parquet",
         choices=["parquet", "json", "trec", "trecweb", "cleantrec", "cw09",
-                 "cw12", "wapo", "nyt", "bibtex", "core", "acl", "tweets"],
+                 "cw12", "wapo", "nyt", "wikipedia", "bibtex", "core", "acl",
+                 "tweets"],
     )
     p.add_argument("-storePositions", action="store_true")
     p.add_argument("-storeDocvectors", action="store_true")

@@ -25,6 +25,7 @@ from .web_collections import (
 from .tweet_collection import read_tweet_collection
 from .nyt_collection import read_nyt_collection
 from .wapo_collection import read_wapo_collection
+from .wikipedia_collection import read_wikipedia_collection
 
 __all__ = [
     "TRANSCRIPT_SCHEMA", "TRANSCRIPTS_SQL", "generate_transcripts",
@@ -35,4 +36,5 @@ __all__ = [
     "read_microblog_topics",
     "read_trecweb_collection", "read_clean_trec_collection",
     "read_clueweb_collection", "read_wapo_collection", "read_nyt_collection",
+    "read_wikipedia_collection",
 ]

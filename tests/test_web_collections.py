@@ -99,3 +99,20 @@ def test_nyt_matches_reference():
     assert contents == (
         "Article Title\nArticle abstract.\nFirst paragraph.\nSecond paragraph."
     )
+
+
+def test_wikipedia_matches_reference():
+    import bz2
+
+    from anserini_ray.sources.wikipedia_collection import parse_wikipedia
+
+    data = bz2.open(
+        f"{SAMPLES}/wikipedia/collection1/articles.xml.bz2", "rb"
+    ).read()
+    docs = parse_wikipedia(data)
+    assert len(docs) == 1
+    title, contents = docs[0]
+    assert title == "Wiktionary:Welcome, newcomers"
+    assert contents == (
+        "Wiktionary:Welcome, newcomers.\nthis is the   real content"
+    )
