@@ -155,87 +155,101 @@ class TokenizeDocs:
                 pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        _an = _process_analyzer(self.analyzer_config)
-        analyze = _an.analyze
-        analyze_pos = _an.analyze_with_positions
-        analyze_tfs = getattr(_an, "analyze_with_tfs", None)  # SLR-style
-        keep = np.ones(len(texts), dtype=bool)
-        kept_dls: list[int] = []
-        flat_terms: list[str] = []
-        flat_tfs: list[int] = []
-        offsets: list[int] = [0]
-        positions = self.store_positions
-        flat_pos: list[int] = []
-        pos_inner_off: list[int] = [0]
-        from collections import Counter
+        table, _idx, n_errors = tokenize_table(
+            batch, self.analyzer_config, self.store_positions
+        )
+        self._count_errors(n_errors)
+        return table
 
-        n_errors = 0
-        for i, text in enumerate(texts):
-            if text is None or not text.strip():
-                keep[i] = False
-                continue
-            try:
-                if analyze_tfs is not None:
-                    a_terms, a_tfs = analyze_tfs(text)
-                    if not a_terms:
-                        keep[i] = False
-                        continue
-                    kept_dls.append(int(sum(a_tfs)))
-                    flat_terms.extend(a_terms)
-                    flat_tfs.extend(a_tfs)
-                    offsets.append(len(flat_terms))
+
+def tokenize_table(
+    batch: pa.Table,
+    analyzer_config: dict | None,
+    store_positions: bool,
+) -> tuple[pa.Table, np.ndarray, int]:
+    """Core tokenize kernel: returns (tokenized table, kept original row
+    indices, error count). The kept-index array lets callers derive
+    deterministic ordinals from input row positions (streaming build)."""
+    texts = batch["text"].to_pylist()
+    _an = _process_analyzer(analyzer_config)
+    analyze = _an.analyze
+    analyze_pos = _an.analyze_with_positions
+    analyze_tfs = getattr(_an, "analyze_with_tfs", None)  # SLR-style
+    keep = np.ones(len(texts), dtype=bool)
+    kept_dls: list[int] = []
+    flat_terms: list[str] = []
+    flat_tfs: list[int] = []
+    offsets: list[int] = [0]
+    positions = store_positions
+    flat_pos: list[int] = []
+    pos_inner_off: list[int] = [0]
+    from collections import Counter
+
+    n_errors = 0
+    for i, text in enumerate(texts):
+        if text is None or not text.strip():
+            keep[i] = False
+            continue
+        try:
+            if analyze_tfs is not None:
+                a_terms, a_tfs = analyze_tfs(text)
+                if not a_terms:
+                    keep[i] = False
                     continue
-                if positions:
-                    toks, tok_pos = analyze_pos(text)
-                else:
-                    toks = analyze(text)
-            except Exception:
-                keep[i] = False
-                n_errors += 1
+                kept_dls.append(int(sum(a_tfs)))
+                flat_terms.extend(a_terms)
+                flat_tfs.extend(a_tfs)
+                offsets.append(len(flat_terms))
                 continue
             if positions:
-                kept_dls.append(len(toks))
-                posmap: dict[str, list[int]] = {}
-                for t, p in zip(toks, tok_pos):
-                    posmap.setdefault(t, []).append(p)
-                for t, plist in posmap.items():
-                    flat_terms.append(t)
-                    flat_tfs.append(len(plist))
-                    flat_pos.extend(plist)
-                    pos_inner_off.append(len(flat_pos))
+                toks, tok_pos = analyze_pos(text)
             else:
-                kept_dls.append(len(toks))
-                counts = Counter(toks)  # C fast path
-                flat_terms.extend(counts.keys())
-                flat_tfs.extend(counts.values())
-            offsets.append(len(flat_terms))
-        self._count_errors(n_errors)
-        idx = np.flatnonzero(keep)
-        off = pa.array(np.asarray(offsets, dtype=np.int32))
-        terms_col = pa.ListArray.from_arrays(off, pa.array(flat_terms, type=pa.string()))
-        tfs_col = pa.ListArray.from_arrays(
-            off, pa.array(np.asarray(flat_tfs, dtype=np.int32))
-        )
-        cols = [
-            batch["conv_id"].take(pa.array(idx)),
-            pc.cast(batch["turn_idx"].take(pa.array(idx)), pa.int32()),
-            pa.array(np.asarray(kept_dls, dtype=np.int32)),
-            terms_col,
-            tfs_col,
-        ]
-        names = ["conv_id", "turn_idx", "dl", "terms", "tfs"]
-        if "ts" in batch.column_names:
-            cols.append(batch["ts"].take(pa.array(idx)))
-            names.append("ts")
+                toks = analyze(text)
+        except Exception:
+            keep[i] = False
+            n_errors += 1
+            continue
         if positions:
-            inner = pa.ListArray.from_arrays(
-                pa.array(np.asarray(pos_inner_off, dtype=np.int32)),
-                pa.array(np.asarray(flat_pos, dtype=np.int32)),
-            )
-            cols.append(pa.ListArray.from_arrays(off, inner))
-            names.append("positions")
-        return pa.Table.from_arrays(cols, names=names)
+            kept_dls.append(len(toks))
+            posmap: dict[str, list[int]] = {}
+            for t, p in zip(toks, tok_pos):
+                posmap.setdefault(t, []).append(p)
+            for t, plist in posmap.items():
+                flat_terms.append(t)
+                flat_tfs.append(len(plist))
+                flat_pos.extend(plist)
+                pos_inner_off.append(len(flat_pos))
+        else:
+            kept_dls.append(len(toks))
+            counts = Counter(toks)  # C fast path
+            flat_terms.extend(counts.keys())
+            flat_tfs.extend(counts.values())
+        offsets.append(len(flat_terms))
+    idx = np.flatnonzero(keep)
+    off = pa.array(np.asarray(offsets, dtype=np.int32))
+    terms_col = pa.ListArray.from_arrays(off, pa.array(flat_terms, type=pa.string()))
+    tfs_col = pa.ListArray.from_arrays(
+        off, pa.array(np.asarray(flat_tfs, dtype=np.int32))
+    )
+    cols = [
+        batch["conv_id"].take(pa.array(idx)),
+        pc.cast(batch["turn_idx"].take(pa.array(idx)), pa.int32()),
+        pa.array(np.asarray(kept_dls, dtype=np.int32)),
+        terms_col,
+        tfs_col,
+    ]
+    names = ["conv_id", "turn_idx", "dl", "terms", "tfs"]
+    if "ts" in batch.column_names:
+        cols.append(batch["ts"].take(pa.array(idx)))
+        names.append("ts")
+    if positions:
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.asarray(pos_inner_off, dtype=np.int32)),
+            pa.array(np.asarray(flat_pos, dtype=np.int32)),
+        )
+        cols.append(pa.ListArray.from_arrays(off, inner))
+        names.append("positions")
+    return pa.Table.from_arrays(cols, names=names), idx, n_errors
 
 
 @ray.remote
@@ -289,6 +303,29 @@ def _attach_ordinals(table: pa.Table, offset: int) -> pa.Table:
 
 class NotSortedError(ValueError):
     pass
+
+
+def _is_not_sorted(e: BaseException) -> bool:
+    """True if e is (or wraps, through Ray task-error layers) NotSortedError.
+    Ray may bury the user exception under RayTaskError(UserCodeException), so
+    the pickled traceback string is the fallback signal."""
+    seen = 0
+    root = e
+    while e is not None and seen < 8:
+        if isinstance(e, NotSortedError) or type(e).__name__ == "NotSortedError":
+            return True
+        e = getattr(e, "cause", None) or getattr(e, "__cause__", None)
+        seen += 1
+    return "NotSortedError" in str(root)
+
+
+def _input_columns(paths: list[str]) -> list[str]:
+    import pyarrow.parquet as pq
+
+    names = set(
+        pq.read_metadata(sorted(paths)[0]).schema.to_arrow_schema().names
+    )
+    return [c for c in ("conv_id", "turn_idx", "text", "ts") if c in names]
 
 
 def _assign_ordinals(ds, verify_sorted: bool = False):
@@ -513,6 +550,98 @@ def _empty_subblock_table() -> pa.Table:
     )
 
 
+def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None) -> dict[int, int]:
+    """Global df/cf per term + per-segment termstats sidecars from the skinny
+    (segment_id, term, df, cf) rows. ONE sort-based groupby(term); the
+    global stats are attached back via a broadcast map-side join (`ray.put`
+    once, read per task, vectorized `pc.index_in` hash lookup) below a vocab
+    cap, or a distributed hash join above it. Returns per-segment posting-run
+    row counts (manifest metadata), computed as narrow map partials."""
+    from ray.data.aggregate import Sum
+
+    global_stats = (
+        skinny.groupby("term", num_partitions=shuffle_partitions)
+        .aggregate(Sum("df"), Sum("cf"))
+        .map_batches(
+            lambda b: b.rename_columns(["term", "gdf", "gcf"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    vocab_size = global_stats.count()
+    if vocab_size <= BROADCAST_VOCAB_LIMIT:
+        blocks = [t for t in ray.get(global_stats.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            gs = pa.concat_tables(blocks)
+            stats_ref = ray.put(
+                (
+                    gs["term"].combine_chunks(),
+                    gs["gdf"].combine_chunks(),
+                    gs["gcf"].combine_chunks(),
+                )
+            )
+        else:
+            stats_ref = ray.put(
+                (
+                    pa.array([], type=pa.string()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                )
+            )
+
+        def attach_stats(batch: pa.Table) -> pa.Table:
+            terms_v, gdf_v, gcf_v = ray.get(stats_ref)
+            idx = pc.index_in(batch["term"], value_set=terms_v)
+            return pa.Table.from_arrays(
+                [
+                    batch["segment_id"],
+                    batch["term"],
+                    pc.take(gdf_v, idx),
+                    pc.take(gcf_v, idx),
+                ],
+                names=["segment_id", "term", "gdf", "gcf"],
+            )
+
+        stats = skinny.select_columns(["segment_id", "term"]).map_batches(
+            attach_stats, batch_format="pyarrow"
+        )
+    else:
+        # huge-vocab path: distributed hash join
+        avail_cpus = int(ray.cluster_resources().get("CPU", 8))
+        nparts = min(shuffle_partitions or 32, max(2, avail_cpus // 2))
+        stats = skinny.select_columns(["segment_id", "term"]).join(
+            global_stats, "inner", nparts, on=("term",)
+        )
+    stats.write_parquet(
+        os.path.join(index_dir, "termstats"), partition_cols=["segment_id"]
+    )
+    # posting-run rows per segment (manifest metadata; narrow partial sums)
+    term_counts: dict[int, int] = {}
+    for r in (
+        skinny.select_columns(["segment_id"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "segment_id": pa.array(
+                        np.unique(b["segment_id"].to_numpy())
+                    ),
+                    "cnt": pa.array(
+                        np.unique(
+                            b["segment_id"].to_numpy(), return_counts=True
+                        )[1],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    ):
+        sid = int(r["segment_id"])
+        term_counts[sid] = term_counts.get(sid, 0) + int(r["cnt"])
+    return term_counts
+
+
 def _clean_for_build(index_dir: str, keep_segments: frozenset) -> None:
     """Remove index artifacts that the coming build will rewrite, keeping the
     partitions of resumable (finished, fingerprint-matching) segments.
@@ -543,19 +672,28 @@ def _clean_for_build(index_dir: str, keep_segments: frozenset) -> None:
 
 
 def build_index(
-    transcripts,
-    index_dir: str,
+    transcripts=None,
+    index_dir: str = None,
     config: IndexConfig | None = None,
     input_files: list[str] | None = None,
     total_input: int | None = None,
     whitelist=None,
     dedup_docids: bool = False,
+    input_paths: list[str] | None = None,
 ) -> IndexManifest:
     """Build the inverted index from a transcripts Dataset into index_dir.
 
     Returns the global IndexManifest. With config.resume=True, segments whose
     manifests match the input/config fingerprint are skipped (their postings
     and docmap partitions are kept).
+
+    input_paths: when the input is sorted Parquet on disk (the common
+    transcript-corpus case), pass the file list here instead of (or in
+    addition to) a Dataset — the build takes the STREAMING path
+    (`streaming.py`): ordinals from parquet metadata, one fused
+    tokenize→encode→write pass, no corpus materialization, unit-granular
+    resume. Falls back to the sort-based Dataset path automatically if the
+    input turns out not to be (conv_id, turn_idx)-sorted.
 
     whitelist: optional iterable of docids ("conv:turn") — only these are
     indexed (broadcast-set semi-join; reference `-whitelist`,
@@ -566,6 +704,41 @@ def build_index(
     import time as _time
 
     config = config or IndexConfig()
+
+    if (
+        input_paths is not None
+        and config.assume_sorted
+        and whitelist is None
+        and not dedup_docids
+    ):
+        from .streaming import build_index_streaming
+
+        try:
+            return build_index_streaming(
+                input_paths, index_dir, config, total_input=total_input
+            )
+        except Exception as e:  # NotSortedError possibly wrapped by Ray
+            if not _is_not_sorted(e):
+                raise
+            import shutil
+
+            for sub in ("postings", "docmap", "docvecs", "termstats",
+                        "manifests", "units"):
+                shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+            if transcripts is None:
+                transcripts = ray.data.read_parquet(
+                    sorted(input_paths), columns=_input_columns(input_paths)
+                )
+            config.assume_sorted = False
+            input_files = input_files or list(input_paths)
+
+    if transcripts is None:
+        if input_paths is None:
+            raise ValueError("build_index needs a Dataset or input_paths")
+        transcripts = ray.data.read_parquet(
+            sorted(input_paths), columns=_input_columns(input_paths)
+        )
+        input_files = input_files or list(input_paths)
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = input_fingerprint(
         input_files or [], config.repr_for_fingerprint()
@@ -738,8 +911,6 @@ def build_index(
     # broadcast map-side join back onto the per-segment rows (ray.put once,
     # read per task). Dataset.join (hash-shuffle aggregator actors) only as
     # the fallback when the vocabulary exceeds the broadcast threshold.
-    from ray.data.aggregate import Sum
-
     # stats come from a column-pruned read-back of what was just written —
     # only (term, df, cf) bytes leave disk, and on resume this naturally
     # covers kept segments too
@@ -747,47 +918,7 @@ def build_index(
         os.path.join(index_dir, "postings"),
         columns=["term", "df", "cf", "segment_id"],
     ).materialize()
-    global_stats = (
-        skinny.groupby("term", num_partitions=config.shuffle_partitions)
-        .aggregate(Sum("df"), Sum("cf"))
-        .map_batches(
-            lambda b: b.rename_columns(["term", "gdf", "gcf"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-    vocab_size = global_stats.count()
-    if vocab_size <= BROADCAST_VOCAB_LIMIT:
-        gs = global_stats.take_all()
-        stats_ref = ray.put(
-            {r["term"]: (int(r["gdf"]), int(r["gcf"])) for r in gs}
-        )
-
-        def attach_stats(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(stats_ref)
-            terms = batch["term"].to_pylist()
-            gdf = np.empty(len(terms), dtype=np.int64)
-            gcf = np.empty(len(terms), dtype=np.int64)
-            for i, t in enumerate(terms):
-                gdf[i], gcf[i] = lookup[t]
-            return pa.Table.from_arrays(
-                [batch["segment_id"], batch["term"], pa.array(gdf), pa.array(gcf)],
-                names=["segment_id", "term", "gdf", "gcf"],
-            )
-
-        stats = skinny.select_columns(["segment_id", "term"]).map_batches(
-            attach_stats, batch_format="pyarrow"
-        )
-    else:
-        # huge-vocab path: distributed hash join
-        avail_cpus = int(ray.cluster_resources().get("CPU", 8))
-        nparts = min(config.shuffle_partitions or 32, max(2, avail_cpus // 2))
-        stats = skinny.select_columns(["segment_id", "term"]).join(
-            global_stats, "inner", nparts, on=("term",)
-        )
-    stats.write_parquet(
-        os.path.join(index_dir, "termstats"), partition_cols=["segment_id"]
-    )
+    term_counts = write_termstats(skinny, index_dir, config.shuffle_partitions)
     _mark("termstats")
 
     # --- per-segment doc stats: narrow map partials + driver combine (one
@@ -819,30 +950,6 @@ def build_index(
         for sid in sorted(seg_counts)
     ]
     _mark("collection_stats")
-    # posting-run rows per segment (manifest metadata; narrow partial sums)
-    term_counts: dict[int, int] = {}
-    for r in (
-        skinny.select_columns(["segment_id"])
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "segment_id": pa.array(
-                        np.unique(b["segment_id"].to_numpy())
-                    ),
-                    "cnt": pa.array(
-                        np.unique(
-                            b["segment_id"].to_numpy(), return_counts=True
-                        )[1],
-                        type=pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    ):
-        sid = int(r["segment_id"])
-        term_counts[sid] = term_counts.get(sid, 0) + int(r["cnt"])
 
     if skip:
         # preserve num_terms recorded by the original build of kept segments

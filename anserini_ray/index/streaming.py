@@ -1,0 +1,425 @@
+"""Streaming (materialize-free) index build over Parquet transcript files.
+
+The legacy path (`build.py:_assign_ordinals`) must materialize the tokenized
+corpus so the driver can prefix-sum block sizes into doc ordinals — the whole
+tokenized corpus (~1x input) transits and sits in the object store. This path
+removes that residency entirely: ordinals are derived from the INPUT's
+parquet metadata (doc_ord = global input row position, computed per row-group
+run from file footers — no data read), so tokenize -> encode -> segment-write
+fuse into ONE streaming map_batches pass and nothing corpus-sized is ever
+held or shuffled.
+
+Dropped docs (whitespace-empty text, analyzer errors) leave HOLES in the
+ordinal space; `SegmentReader` remaps raw ordinals to dense docmap rows at
+postings-decode time so all query-side scoring stays dense (and on hole-free
+legacy indexes the remap is a no-op).
+
+Each *unit* (a run of consecutive row groups of one input file) is processed
+by one task that:
+
+  1. reads its row groups straight from parquet (pruned columns),
+  2. verifies (conv_id, turn_idx) order inside the unit (assume_sorted
+     contract — violations raise NotSortedError and the caller falls back to
+     the sort-based legacy build; cross-unit boundaries are checked by the
+     driver from the markers),
+  3. tokenizes (analyzer built once per worker process, `_process_analyzer`),
+  4. writes its docmap/postings[/docvecs] partition files directly
+     (tmp + atomic rename; deterministic names `u{unit_id}.parquet` under
+     `segment_id=K/` dirs — the same hive layout the legacy writer produces),
+  5. writes a durable per-unit JSON marker (fingerprint, row/keep/error
+     counters, sort boundaries, per-segment doc partials) — the lineage
+     record that makes the build resumable at UNIT granularity,
+  6. returns only skinny (segment_id, term, df, cf) rows — the only data
+     that flows on, into the (tiny) global term-stats groupby.
+
+Reference analog: the reference's multithreaded Lucene writer
+(`J/index/IndexCollection.java:729-893`) has no build resume at all
+(OpenMode.CREATE clobbers); per-unit lineage markers are the Ray-native
+upgrade the 100TB target requires (skip finished partitions on re-run).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..state.manifest import IndexManifest, SegmentManifest, input_fingerprint
+from .build import (
+    IndexConfig,
+    NotSortedError,
+    make_subblock_encoder,
+    tokenize_table,
+    write_termstats,
+)
+
+# rows per unit task: large enough to amortize task+file overhead, small
+# enough that units land well under a worker's heap and load-balance across
+# the cluster (at 100TB: ~400K units of ~64K rows over ~8K cores)
+UNIT_TARGET_ROWS = 65536
+
+
+def plan_units(paths: list[str], target_rows: int = UNIT_TARGET_ROWS):
+    """Unit plan from parquet footers only (no data reads): each unit is a
+    run of consecutive row groups of one file with a global base ordinal.
+    Returns (units, total_rows, columns_present)."""
+    units: list[dict] = []
+    base = 0
+    columns = None
+    for path in paths:
+        md = pq.read_metadata(path)
+        if columns is None:
+            names = set(md.schema.to_arrow_schema().names)
+            columns = [
+                c for c in ("conv_id", "turn_idx", "text", "ts") if c in names
+            ]
+        sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        i = 0
+        while i < len(sizes):
+            j, rows = i, 0
+            while j < len(sizes) and (rows == 0 or rows + sizes[j] <= target_rows):
+                rows += sizes[j]
+                j += 1
+            units.append(
+                {
+                    "unit_id": len(units),
+                    "path": path,
+                    "rg_start": i,
+                    "rg_end": j,
+                    "base": base,
+                    "rows": rows,
+                }
+            )
+            base += rows
+            i = j
+    return units, base, (columns or [])
+
+
+def _skinny_empty() -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.string()),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.int64()),
+        ],
+        names=["segment_id", "term", "df", "cf"],
+    )
+
+
+def _key_tuple(conv, turn, i) -> list:
+    return [conv[i].as_py(), int(turn[i].as_py())]
+
+
+def _check_sorted(table: pa.Table) -> None:
+    n = table.num_rows
+    if n <= 1:
+        return
+    conv, turn = table["conv_id"], table["turn_idx"]
+    c0, c1 = conv.slice(0, n - 1), conv.slice(1)
+    t0, t1 = turn.slice(0, n - 1), turn.slice(1)
+    ok = pc.all(
+        pc.or_(
+            pc.less(c0, c1), pc.and_(pc.equal(c0, c1), pc.less(t0, t1))
+        )
+    ).as_py()
+    if not ok:
+        raise NotSortedError("unit not internally sorted by (conv_id, turn_idx)")
+
+
+def _write_part(table: pa.Table, root: str, segment_id: int, unit_id: int) -> None:
+    d = os.path.join(root, f"segment_id={segment_id}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".u{unit_id:08d}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(d, f"u{unit_id:08d}.parquet"))
+
+
+class UnitWorker:
+    """map_batches fn over the unit plan — one unit per input block."""
+
+    def __init__(self, index_dir: str, config: IndexConfig, columns: list[str],
+                 fingerprint: str, verify_sorted: bool):
+        self.index_dir = index_dir
+        self.analyzer_config = config.analyzer
+        self.store_positions = config.store_positions
+        self.store_docvecs = config.store_docvecs
+        self.seg_shift = config.seg_shift
+        self.columns = columns
+        self.fingerprint = fingerprint
+        self.verify_sorted = verify_sorted
+        self.encoder = make_subblock_encoder(
+            config.seg_shift, config.block_size, frozenset()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [self._process(u) for u in batch.to_pylist()]
+        outs = [o for o in outs if o.num_rows]
+        return pa.concat_tables(outs) if outs else _skinny_empty()
+
+    def _process(self, u: dict) -> pa.Table:
+        pf = pq.ParquetFile(u["path"])
+        t = pf.read_row_groups(
+            list(range(u["rg_start"], u["rg_end"])), columns=self.columns
+        )
+        first = last = None
+        if t.num_rows:
+            if self.verify_sorted:
+                _check_sorted(t)
+            conv, turn = t["conv_id"], t["turn_idx"]
+            first = _key_tuple(conv, turn, 0)
+            last = _key_tuple(conv, turn, t.num_rows - 1)
+
+        tok, idx, n_errors = tokenize_table(
+            t, self.analyzer_config, self.store_positions
+        )
+        doc_ord = (u["base"] + idx).astype(np.int64)
+        tok = tok.append_column("doc_ord", pa.array(doc_ord))
+        segs = doc_ord >> self.seg_shift
+        uniq_segs = np.unique(segs)
+
+        # docmap partition slices
+        dm_names = ["doc_ord", "conv_id", "turn_idx", "dl"] + (
+            ["ts"] if "ts" in tok.column_names else []
+        )
+        dm = tok.select(dm_names)
+        for s in uniq_segs:
+            mask = pa.array(segs == s)
+            _write_part(dm.filter(mask), os.path.join(self.index_dir, "docmap"),
+                        int(s), u["unit_id"])
+            if self.store_docvecs:
+                dv = tok.select(["doc_ord", "terms", "tfs"]).filter(mask)
+                _write_part(dv, os.path.join(self.index_dir, "docvecs"),
+                            int(s), u["unit_id"])
+
+        # postings: encode sub-block runs in-task and write per segment
+        sub = self.encoder(tok)
+        sub_segs = sub["segment_id"].to_numpy() if sub.num_rows else np.array([])
+        for s in uniq_segs:
+            part = sub.filter(pa.array(sub_segs == s)).drop_columns(["segment_id"])
+            _write_part(part, os.path.join(self.index_dir, "postings"),
+                        int(s), u["unit_id"])
+
+        # per-segment doc partials for the marker
+        seg_cnt = {int(s): int((segs == s).sum()) for s in uniq_segs}
+        dls = tok["dl"].to_numpy()
+        seg_sdl = {int(s): int(dls[segs == s].sum()) for s in uniq_segs}
+        marker = {
+            "fingerprint": self.fingerprint,
+            "unit_id": u["unit_id"],
+            "base": u["base"],
+            "rows": u["rows"],
+            "kept": int(idx.size),
+            "errors": int(n_errors),
+            "first": first,
+            "last": last,
+            "segments": {str(k): [seg_cnt[k], seg_sdl[k]] for k in seg_cnt},
+        }
+        mdir = os.path.join(self.index_dir, "units")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".u{u['unit_id']:08d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(mdir, f"u{u['unit_id']:08d}.json"))
+
+        return sub.select(["segment_id", "term", "df", "cf"])
+
+
+def _load_markers(index_dir: str) -> dict[int, dict]:
+    out = {}
+    for p in glob.glob(os.path.join(index_dir, "units", "u*.json")):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            out[int(m["unit_id"])] = m
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def _clean_streaming(index_dir: str, keep_units: set[int]) -> None:
+    """Remove everything the coming streaming build will rewrite, keeping
+    only the partition files + markers of resumable units."""
+    import re
+    import shutil
+
+    keep_names = {f"u{uid:08d}.parquet" for uid in keep_units}
+    for sub in ("postings", "docmap", "docvecs"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            path = os.path.join(root, entry)
+            if not re.match(r"segment_id=\d+$", entry):
+                shutil.rmtree(path, ignore_errors=True) if os.path.isdir(
+                    path
+                ) else os.unlink(path)
+                continue
+            for fn in os.listdir(path):
+                if fn not in keep_names:
+                    os.unlink(os.path.join(path, fn))
+            if not os.listdir(path):
+                os.rmdir(path)
+    shutil.rmtree(os.path.join(index_dir, "termstats"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "manifests"), ignore_errors=True)
+    udir = os.path.join(index_dir, "units")
+    if os.path.isdir(udir):
+        keep_m = {f"u{uid:08d}.json" for uid in keep_units}
+        for fn in os.listdir(udir):
+            if fn not in keep_m:
+                os.unlink(os.path.join(udir, fn))
+
+
+def build_index_streaming(
+    input_paths: list[str],
+    index_dir: str,
+    config: IndexConfig | None = None,
+    total_input: int | None = None,
+) -> IndexManifest:
+    """Streaming build (see module docstring). Requires sorted parquet input
+    (assume_sorted contract); raises NotSortedError otherwise — callers fall
+    back to `build_index`'s sort path."""
+    import time as _time
+
+    config = config or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    paths = sorted(input_paths)
+    fingerprint = input_fingerprint(paths, config.repr_for_fingerprint())
+
+    stage_secs: dict[str, float] = {}
+    _t = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        stage_secs[stage] = round(now - _t, 3)
+        _t = now
+
+    units, total_rows, columns = plan_units(paths)
+    if total_input is None:
+        total_input = total_rows
+
+    # unit-granular resume: a marker whose fingerprint AND placement match
+    # the current plan proves that unit's partition files are complete
+    resumed: dict[int, dict] = {}
+    if config.resume:
+        by_id = {u["unit_id"]: u for u in units}
+        for uid, m in _load_markers(index_dir).items():
+            u = by_id.get(uid)
+            if (
+                u is not None
+                and m.get("fingerprint") == fingerprint
+                and m.get("base") == u["base"]
+                and m.get("rows") == u["rows"]
+            ):
+                resumed[uid] = m
+    _clean_streaming(index_dir, set(resumed))
+    todo = [u for u in units if u["unit_id"] not in resumed]
+    _mark("plan")
+
+    if todo:
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
+        skinny = ds.map_batches(
+            UnitWorker(index_dir, config, columns, fingerprint,
+                       verify_sorted=True),
+            batch_format="pyarrow",
+        ).materialize()  # skinny (segment_id, term, df, cf) only — tiny
+    else:
+        skinny = ray.data.from_arrow(_skinny_empty())
+    _mark("tokenize_encode_write")
+
+    # driver-side cross-unit boundary verification from the markers
+    markers = _load_markers(index_dir)
+    missing = [u["unit_id"] for u in units if u["unit_id"] not in markers]
+    if missing:
+        raise RuntimeError(f"units missing markers after build: {missing[:5]}")
+    prev_last = None
+    for u in units:
+        m = markers[u["unit_id"]]
+        if not m["rows"] or m["first"] is None:
+            continue
+        first = (m["first"][0], m["first"][1])
+        if prev_last is not None and first <= prev_last:
+            raise NotSortedError(
+                f"unit boundary out of order: {first} after {prev_last}"
+            )
+        prev_last = (m["last"][0], m["last"][1])
+
+    if resumed:
+        # resumed units returned no rows through the pipeline; the authoritative
+        # skinny view is the (pruned-column) read-back of what's on disk
+        skinny = ray.data.read_parquet(
+            os.path.join(index_dir, "postings"),
+            columns=["term", "df", "cf", "segment_id"],
+        ).materialize()
+    term_counts = write_termstats(skinny, index_dir, config.shuffle_partitions)
+    _mark("termstats")
+
+    seg_counts: dict[int, int] = {}
+    seg_sum_dl: dict[int, int] = {}
+    kept_total = 0
+    err_total = 0
+    for m in markers.values():
+        kept_total += int(m["kept"])
+        err_total += int(m["errors"])
+        for sid, (cnt, sdl) in m["segments"].items():
+            sid = int(sid)
+            seg_counts[sid] = seg_counts.get(sid, 0) + int(cnt)
+            seg_sum_dl[sid] = seg_sum_dl.get(sid, 0) + int(sdl)
+
+    doc_count = 0
+    sum_dl = 0
+    segments = []
+    for sid in sorted(seg_counts):
+        cnt, sdl = seg_counts[sid], seg_sum_dl[sid]
+        doc_count += cnt
+        sum_dl += sdl
+        sm = SegmentManifest(
+            segment_id=sid,
+            base_ord=sid << config.seg_shift,
+            doc_count=cnt,
+            sum_dl=sdl,
+            num_terms=term_counts.get(sid, 0),
+            fingerprint=fingerprint,
+        )
+        sm.write(index_dir)
+        segments.append(
+            {"segment_id": sid, "doc_count": cnt, "sum_dl": sdl,
+             "num_terms": term_counts.get(sid, 0)}
+        )
+    _mark("manifests")
+
+    from ..analysis.analyzer import make_analyzer
+    from .build import INDEX_FORMAT_VERSION
+
+    manifest = IndexManifest(
+        version=INDEX_FORMAT_VERSION,
+        analyzer=make_analyzer(config.analyzer).config_fingerprint(),
+        norm_mode=config.norm_mode,
+        seg_shift=config.seg_shift,
+        block_size=config.block_size,
+        fingerprint=fingerprint,
+        doc_count=doc_count,
+        sum_total_tf=sum_dl,
+        counters={
+            "total_input": int(total_input),
+            "indexed": doc_count,
+            "empty": int(total_input) - kept_total - err_total,
+            "skipped": 0,
+            "errors": err_total,
+            "resumed_units": len(resumed),
+            "total_units": len(units),
+            "stage_secs": stage_secs,
+        },
+        segments=segments,
+    )
+    manifest.write(index_dir)
+    return manifest

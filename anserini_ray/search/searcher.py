@@ -520,10 +520,19 @@ class LocalSearcher:
                     break
         target = r_top * n_factor
         rng = _random.Random(seed)
-        # dense ordinals but segments may be partially filled only at the
-        # tail; all ordinals < doc_count are valid by construction
-        while len(pool) < min(target, N_docs):
-            pool.add(rng.randrange(N_docs))
+        # Sample uniformly over the N_docs EXISTING docs: j-th doc overall ->
+        # (reader, dense local) via cumulative per-segment counts, then
+        # g = base_ord + dense_local. On legacy hole-free indexes every
+        # segment is full, so g == j — bit-identical to sampling ordinals
+        # directly (golden parity preserved); on streaming (hole-y) indexes
+        # it never lands on a nonexistent ordinal.
+        cum = np.cumsum([r.doc_count for r in self.readers])
+        n_avail = int(cum[-1]) if cum.size else 0
+        while len(pool) < min(target, n_avail):
+            j = rng.randrange(n_avail)
+            si = int(np.searchsorted(cum, j, side="right"))
+            local = j - (int(cum[si - 1]) if si else 0)
+            pool.add(self.readers[si].base_ord + local)
 
         # small inverted list over the pool
         inv: dict[str, set[int]] = {}

@@ -80,6 +80,27 @@ class SegmentReader:
         dorder = pc.sort_indices(dm["doc_ord"])
         dm = dm.take(dorder)
         self.doc_count = dm.num_rows
+        # Raw local ordinals may have HOLES (streaming builds assign
+        # doc_ord = input row position; dropped docs leave gaps). Postings
+        # store raw ordinals on disk; this reader presents a DENSE local
+        # space (docmap row index) to all callers — scoring accumulators,
+        # dl arrays and doc_id_strings index dense rows. _raw_local maps
+        # dense->raw; _dense_lookup maps raw->dense (None when hole-free:
+        # legacy sort-path builds, where raw == dense).
+        self._raw_local = (
+            dm["doc_ord"].to_numpy() - self.base_ord
+            if self.doc_count
+            else np.empty(0, dtype=np.int64)
+        ).astype(np.int64)
+        if self.doc_count and (
+            self._raw_local[0] != 0
+            or self._raw_local[-1] != self.doc_count - 1
+        ):
+            lut = np.full(int(self._raw_local[-1]) + 1, -1, dtype=np.int64)
+            lut[self._raw_local] = np.arange(self.doc_count, dtype=np.int64)
+            self._dense_lookup = lut
+        else:
+            self._dense_lookup = None
         self._conv_id = dm["conv_id"].combine_chunks()
         self._turn_idx = dm["turn_idx"].to_numpy()
         # optional per-doc timestamps (tweet time-filter analog)
@@ -151,10 +172,17 @@ class SegmentReader:
         self._decode_cache_postings += n
         return out
 
+    def _remap(self, raw_ords: np.ndarray) -> np.ndarray:
+        """Raw local ordinals -> dense docmap row indices (no-op when the
+        segment is hole-free)."""
+        if self._dense_lookup is None:
+            return raw_ords
+        return self._dense_lookup[raw_ords]
+
     def _decode_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         df = int(self._df[i])
         gaps = varint_decode(self._doc_blob[i].as_py(), df)
-        ords = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+        ords = self._remap(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
         tfs = varint_decode(self._tf_blob[i].as_py(), df).astype(np.int32)
         return ords, tfs
 
@@ -168,7 +196,7 @@ class SegmentReader:
         lo, hi = r
         firsts, ns, mts, mds, rows_, lblk = [], [], [], [], [], []
         for i in range(lo, hi):
-            bf = self._blk_first[i].values.to_numpy()
+            bf = self._remap(self._blk_first[i].values.to_numpy())
             firsts.append(bf)
             ns.append(self._blk_n[i].values.to_numpy())
             mts.append(self._blk_max_tf[i].values.to_numpy())
@@ -206,8 +234,11 @@ class SegmentReader:
             n = int(bn[b])
             gaps = varint_decode(doc_blob[d_lo:d_hi], n)
             vals = np.cumsum(gaps, dtype=np.uint64)
-            vals = vals - gaps[0] + np.uint64(bf[b])
-            ords_parts.append(vals.astype(np.int64))
+            # bf is DENSE (block_meta remaps); recover the raw first ordinal
+            # as the decode base, then remap the decoded raw ords to dense
+            raw_first = int(self._raw_local[int(bf[b])]) if self.doc_count else 0
+            vals = vals - gaps[0] + np.uint64(raw_first)
+            ords_parts.append(self._remap(vals.astype(np.int64)))
             tf_parts.append(varint_decode(tf_blob[t_lo:t_hi], n).astype(np.int32))
         if not ords_parts:
             return np.empty(0, np.int64), np.empty(0, np.int32)
@@ -289,7 +320,8 @@ class SegmentReader:
                 dv["tfs"].combine_chunks(),
             )
         ords, terms, tfs = self._docvecs
-        target = self.base_ord + local_ord  # docvecs store GLOBAL ordinals
+        # docvecs store GLOBAL RAW ordinals; local_ord is dense
+        target = self.base_ord + int(self._raw_local[local_ord])
         i = int(np.searchsorted(ords, target))
         if i >= ords.size or ords[i] != target:
             return {}

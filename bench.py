@@ -78,17 +78,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     t0 = time.perf_counter()
     build_index(
-        ray.data.read_parquet(
-            corpus_dir,
-            columns=["conv_id", "turn_idx", "text"],
-            override_num_blocks=max(4 * num_cpus, len(corpus_files)),
-        ),
-        index_dir,
-        IndexConfig(seg_shift=16, assume_sorted=True),
-        input_files=corpus_files,
-        total_input=sum(
-            pq.read_metadata(f).num_rows for f in corpus_files
-        ),
+        index_dir=index_dir,
+        config=IndexConfig(seg_shift=16, assume_sorted=True),
+        input_paths=corpus_files,
     )
     timings["index_build"] = time.perf_counter() - t0
 
@@ -169,16 +161,9 @@ def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         m = build_index(
-            ray.data.read_parquet(
-                corpus_dir,
-                columns=["conv_id", "turn_idx", "text"],
-                # block count sized to the DATA (~50MB blocks), not the cpu
-                # count — oversized blocks hurt small clusters
-                override_num_blocks=max(128, 4 * num_cpus),
-            ),
-            index_dir,
-            IndexConfig(seg_shift=17, assume_sorted=True),
-            input_files=corpus_files,
+            index_dir=index_dir,
+            config=IndexConfig(seg_shift=17, assume_sorted=True),
+            input_paths=corpus_files,
             total_input=n_turns,
         )
         dt = time.perf_counter() - t0
