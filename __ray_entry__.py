@@ -317,14 +317,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": TD.events_windowed,
         "events_by_type": TD.events_by_type,
         "top_users_by_events": TD.top_users_by_events,
-        # --- training-data ops (rows-only: non-SQL-expressible) ---
+        # --- training-data ops (SQL-checkable as of round 2) ---
         "token_counts_analyzed": TD.token_counts_analyzed,
         "lang_id": TD.lang_id,
         "fingerprints": TD.fingerprints,
         "minhash_dedup": TD.minhash_dedup,
-        "simhash_groups": TD.simhash_groups,
-        "ann_lsh_topk": TD.ann_lsh_topk,
         "embedding_near_dup": TD.embedding_near_dup,
+        # --- training-data ops (rows-only: non-SQL-expressible) ---
+        "simhash_groups": TD.simhash_groups,
+        "simhash_pairs": TD.simhash_pairs,
+        "ann_lsh_topk": TD.ann_lsh_topk,
         "ann_fake_words": _ann_fake_words,
         "slr_topk": _slr_topk,
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
@@ -343,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from anserini_ray.pipelines import index_tools as _IT
     from anserini_ray.pipelines import simple as S
     from anserini_ray.pipelines import training_data as TD
     from anserini_ray.sources.transcripts import TRANSCRIPTS_SQL
@@ -361,4 +364,12 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": TD.EVENTS_WINDOWED_SQL,
         "events_by_type": TD.EVENTS_BY_TYPE_SQL,
         "top_users_by_events": TD.TOP_USERS_SQL,
+        # round-2 oracle flips (previously rows-only)
+        "token_counts_analyzed": TD.TOKEN_COUNTS_ANALYZED_SQL,
+        "lang_id": TD.LANG_ID_SQL,
+        "fingerprints": TD.FINGERPRINTS_SQL,
+        "minhash_dedup": TD.MINHASH_DEDUP_SQL,
+        "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
+        "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
+        "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

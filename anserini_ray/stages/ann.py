@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -181,6 +182,7 @@ def embedding_cosine_near_dup(
     n_tables: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_group_size: int | None = 10_000,
 ):
     """Near-duplicate vector pairs: LSH bucket groupby → exact cosine verify
     within buckets (vectors shuffle only bucket keys + ids; exact verify
@@ -219,50 +221,47 @@ def embedding_cosine_near_dup(
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["table_id", "code"])
         .map_groups(groups, batch_format="pyarrow")
-        .take_all()
     )
-    pairs: set[tuple[int, int]] = set()
-    for r in g:
-        ids = r["ids"]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    if not pairs:
-        return pa.table(
-            {
-                "vec_a": pa.array([], type=pa.int64()),
-                "vec_b": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-            }
+    # Distributed exact verification (nothing corpus-proportional on the
+    # driver): candidate groups -> deduped pair Dataset -> normalized vectors
+    # attached per side (broadcast under a cap, hash join above) -> per-pair
+    # cosine in map_batches. Returns a Dataset (vec_a, vec_b, cosine).
+    from .dedup import attach_pair_payloads, distinct_pairs_from_groups
+
+    pairs = distinct_pairs_from_groups(g, "ids", max_group_size)
+
+    def vec_payload(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                pa.array(m.tolist(), type=pa.list_(pa.float64())),
+            ],
+            names=["pid", "payload"],
         )
-    cand_ids = sorted({x for p in pairs for x in p})
-    id_set = set(cand_ids)
 
-    def grab(batch: pa.Table) -> pa.Table:
-        mask = pa.array([int(i) in id_set for i in batch[id_col].to_pylist()])
-        return batch.filter(mask)
-
-    rows = ds.map_batches(grab, batch_format="pyarrow").take_all()
-    vecs = {
-        int(r[id_col]): _normalize(
-            np.asarray(r[vec_col], dtype=np.float64)[None, :]
-        )[0]
-        for r in rows
-    }
-    out_a, out_b, out_c = [], [], []
-    for a_, b_ in sorted(pairs):
-        c = float(vecs[a_] @ vecs[b_])
-        if c >= threshold:
-            out_a.append(a_)
-            out_b.append(b_)
-            out_c.append(c)
-    return pa.table(
-        {
-            "vec_a": pa.array(out_a, type=pa.int64()),
-            "vec_b": pa.array(out_b, type=pa.int64()),
-            "cosine": pa.array(out_c, type=pa.float64()),
-        }
+    withp = attach_pair_payloads(
+        pairs, ds.map_batches(vec_payload, batch_format="pyarrow")
     )
+
+    def verify_cosine(batch: pa.Table) -> pa.Table:
+        va = batch["payload_a"].combine_chunks()
+        vb = batch["payload_b"].combine_chunks()
+        n = batch.num_rows
+        if n:
+            dim = len(va[0])
+            ma = va.values.to_numpy(zero_copy_only=False).reshape(n, dim)
+            mb = vb.values.to_numpy(zero_copy_only=False).reshape(n, dim)
+            cos = np.einsum("ij,ij->i", ma, mb)
+        else:
+            cos = np.empty(0, dtype=np.float64)
+        t = pa.Table.from_arrays(
+            [batch["doc_a"], batch["doc_b"], pa.array(cos)],
+            names=["vec_a", "vec_b", "cosine"],
+        )
+        return t.filter(pc.greater_equal(t["cosine"], threshold))
+
+    return withp.map_batches(verify_cosine, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -121,17 +121,107 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+@ray.remote
+def _block_key_winners(table: pa.Table, key_cols: list[str], last: bool):
+    """One (key_cols, order)-sorted block -> (winner rows, first key, last
+    key). Winner = last (or first) row of each key run — fully vectorized
+    (pyarrow compare + shift, no per-group Python)."""
+    n = table.num_rows
+    if n == 0:
+        return table, None, None
+    same = None
+    for c in key_cols:
+        col = table[c]
+        eq = pc.equal(col.slice(0, n - 1), col.slice(1))
+        same = eq if same is None else pc.and_(same, eq)
+    if n == 1:
+        idx = np.array([0])
+    else:
+        change = ~same.combine_chunks().to_numpy(zero_copy_only=False)
+        if last:
+            # keep i where row i+1 starts a new key, plus the final row
+            idx = np.append(np.flatnonzero(change), n - 1)
+        else:
+            # keep row 0 plus every run start
+            idx = np.concatenate([[0], np.flatnonzero(change) + 1])
+    first = tuple(table[c][0].as_py() for c in key_cols)
+    lastk = tuple(table[c][n - 1].as_py() for c in key_cols)
+    return table.take(pa.array(idx)), first, lastk
+
+
 def unique_by_key(ds, key_cols: list[str], order_col: str, keep: str = "last"):
     """Upsert semantics: keep one row per key — `keep="last"` mirrors the
     reference's `writer.updateDocument` last-write-wins
-    (`IndexCollection.java:213-217`)."""
+    (`IndexCollection.java:213-217`).
 
-    def pick(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group[order_col])
-        i = order[len(order) - 1].as_py() if keep == "last" else order[0].as_py()
-        return group.slice(i, 1)
+    Scale shape: ONE sort shuffle by (key, order), then a vectorized
+    last-of-run pick per block; keys spanning block boundaries are resolved
+    on the driver from per-block boundary keys only (one tuple per block —
+    never row data). No per-group Python callback anywhere.
+    (Dataset.join was avoided deliberately: Ray's hash-join aggregator
+    builds schema-less empty partitions that crash the pyarrow join.)"""
+    last = keep == "last"
+    ctx = ds.context
+    prev_preserve = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True  # block order IS key order
+    try:
+        mat = ds.sort(key_cols + [order_col]).materialize()
+    finally:
+        ctx.execution_options.preserve_order = prev_preserve
+    refs = mat.to_arrow_refs()
+    results = [
+        _block_key_winners.remote(r, key_cols, last) for r in refs
+    ]
+    metas = ray.get([_meta_of.remote(t) for t in results])
+    # drop block i's winner for a key also present in a LATER (keep=last) /
+    # EARLIER (keep=first) block: sorted order puts all rows of a key in
+    # consecutive blocks, so only the boundary key can be superseded.
+    drop_first_of: list[tuple[int, tuple] | None] = []
+    keep_refs = []
+    n_blocks = len(results)
+    firsts = [m[0] for m in metas]
+    lasts_ = [m[1] for m in metas]
+    for i in range(n_blocks):
+        if firsts[i] is None:
+            continue
+        drop_key = None
+        if last:
+            # superseded if my last key reappears in any later nonempty block
+            for j in range(i + 1, n_blocks):
+                if firsts[j] is None:
+                    continue
+                if firsts[j] == lasts_[i]:
+                    drop_key = lasts_[i]
+                break
+        else:
+            for j in range(i - 1, -1, -1):
+                if firsts[j] is None:
+                    continue
+                if lasts_[j] == firsts[i]:
+                    drop_key = firsts[i]
+                break
+        keep_refs.append(
+            _drop_boundary_winner.remote(results[i], key_cols, drop_key)
+        )
+    return ray.data.from_arrow_refs(keep_refs)
 
-    return ds.groupby(key_cols).map_groups(pick, batch_format="pyarrow")
+
+@ray.remote
+def _meta_of(result) -> tuple:
+    _, first, lastk = result
+    return first, lastk
+
+
+@ray.remote
+def _drop_boundary_winner(result, key_cols: list[str], drop_key):
+    table, _, _ = result
+    if drop_key is None or table.num_rows == 0:
+        return table
+    mask = None
+    for c, v in zip(key_cols, drop_key):
+        eq = pc.equal(table[c], pa.scalar(v))
+        mask = eq if mask is None else pc.and_(mask, eq)
+    return table.filter(pc.invert(mask))
 
 
 # ----------------------------------------------------------- MinHash + LSH
@@ -145,6 +235,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     verify: bool = True,
+    max_group_size: int | None = 10_000,
 ):
     """Near-duplicate groups via MinHash + banded LSH.
 
@@ -207,44 +298,178 @@ def minhash_lsh_dedup(
     if not verify:
         return groups
 
-    # Exact verification: candidate ids -> fetch texts -> pairwise jaccard.
-    # Candidate sets are small relative to the corpus; the text fetch is a
-    # broadcast-filter scan, not a shuffle.
-    group_rows = groups.take_all()
-    cand_pairs: set[tuple] = set()
-    for r in group_rows:
-        ids = r["doc_ids"]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand_pairs.add((ids[i], ids[j]))
-    cand_ids = sorted({x for p in cand_pairs for x in p})
-    id_set = set(cand_ids)
+    # Exact verification, fully DISTRIBUTED (nothing corpus-proportional on
+    # the driver): bucket groups -> candidate-pair Dataset (deduped by a
+    # groupby) -> per-doc shingle-hash payloads attached (broadcast map-side
+    # join under a cap, hash join above) -> vectorized per-pair Jaccard in
+    # map_batches. Returns a Dataset (doc_a, doc_b, jaccard).
+    pairs = distinct_pairs_from_groups(groups, "doc_ids", max_group_size)
 
-    def grab(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in id_set for i in batch[id_col].to_pylist()])
-        sub = batch.filter(mask)
+    def shingle_payload(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        payloads = [
+            np.sort(_hash_tokens_64(sorted(word_shingles(t or "", shingle_n))))
+            for t in batch[text_col].to_pylist()
+        ]
         return pa.Table.from_arrays(
-            [sub[id_col], sub[text_col]], names=[id_col, text_col]
+            [ids, pa.array([p.tolist() for p in payloads], type=pa.list_(pa.int64()))],
+            names=["pid", "payload"],
         )
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(grab, batch_format="pyarrow").take_all()
-    }
-    out_a, out_b, out_j = [], [], []
-    for da, db in sorted(cand_pairs):
-        j = ngram_jaccard(texts.get(da, "") or "", texts.get(db, "") or "", shingle_n)
-        if j >= threshold:
-            out_a.append(da)
-            out_b.append(db)
-            out_j.append(j)
-    return pa.table(
-        {
-            "doc_a": out_a,
-            "doc_b": out_b,
-            "jaccard": pa.array(out_j, type=pa.float64()),
-        }
+    payload_ds = ds.map_batches(shingle_payload, batch_format="pyarrow")
+    withp = attach_pair_payloads(pairs, payload_ds)
+
+    def verify_jaccard(batch: pa.Table) -> pa.Table:
+        pa_col = batch["payload_a"].combine_chunks()
+        pb_col = batch["payload_b"].combine_chunks()
+        out_j = np.empty(batch.num_rows, dtype=np.float64)
+        for i in range(batch.num_rows):
+            sa = pa_col[i].values.to_numpy()
+            sb = pb_col[i].values.to_numpy()
+            if sa.size == 0 and sb.size == 0:
+                out_j[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out_j[i] = inter / union if union else 0.0
+        t = pa.Table.from_arrays(
+            [batch["doc_a"], batch["doc_b"], pa.array(out_j)],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return withp.map_batches(verify_jaccard, batch_format="pyarrow")
+
+
+# ----------------------------------------------- distributed pair machinery
+
+PAIR_BROADCAST_LIMIT = 2_000_000  # candidate pairs under this -> broadcast
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def _normalize_empty_blocks(ds_in, schema: pa.Schema):
+    """Ray's hash aggregate/shuffle can emit schema-LESS empty blocks, which
+    crash a downstream pyarrow join ("no match for key field"); rewrite them
+    as properly-typed empty tables."""
+
+    def fix(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in schema], schema=schema
+            )
+        return b.select(schema.names)
+
+    return ds_in.map_batches(fix, batch_format="pyarrow")
+
+
+def distinct_pairs_from_groups(groups, ids_col: str, max_group_size: int | None):
+    """Explode candidate groups (list column of member ids) into distinct
+    (doc_a, doc_b) pairs as a Dataset. Oversized groups (hot buckets) emit a
+    STAR around the min id instead of the quadratic clique — bounded output,
+    still connects every member to a representative for dedup purposes."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        col = batch[ids_col].combine_chunks()
+        out_a, out_b = [], []
+        for i in range(batch.num_rows):
+            ids = col[i].as_py()
+            if len(ids) < 2:
+                continue
+            if max_group_size is not None and len(ids) > max_group_size:
+                rep = ids[0]  # ids are sorted by the group stage
+                for x in ids[1:]:
+                    out_a.append(rep)
+                    out_b.append(x)
+                continue
+            for i2 in range(len(ids)):
+                for j2 in range(i2 + 1, len(ids)):
+                    out_a.append(ids[i2])
+                    out_b.append(ids[j2])
+        id_type = col.type.value_type
+        return pa.Table.from_arrays(
+            [pa.array(out_a, type=id_type), pa.array(out_b, type=id_type)],
+            names=["doc_a", "doc_b"],
+        )
+
+    exploded = groups.map_batches(emit, batch_format="pyarrow")
+    id_type = _arrow_schema(groups).field(ids_col).type.value_type
+    pair_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
+    # dedupe pairs seen in multiple buckets: one groupby on the pair key
+    return _normalize_empty_blocks(
+        exploded.groupby(["doc_a", "doc_b"]).aggregate(Count()), pair_schema
     )
+
+
+def attach_pair_payloads(pairs, payload_ds):
+    """Attach per-id payloads (payload_ds: (pid, payload)) to both sides of a
+    (doc_a, doc_b) pair Dataset -> columns payload_a, payload_b.
+
+    Under PAIR_BROADCAST_LIMIT pairs: ray.put one (id -> payload) map built
+    from a candidate-filtered scan, read per task (broadcast map-side join).
+    Above: two distributed hash joins."""
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        sch = payload_ds.schema()
+        ptype = sch.field("payload").type
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], type=sch.field("pid").type),
+                pa.array([], type=sch.field("pid").type),
+                pa.array([], type=ptype),
+                pa.array([], type=ptype),
+            ],
+            names=["doc_a", "doc_b", "payload_a", "payload_b"],
+        )
+        return ray.data.from_arrow(empty)
+    if n_pairs <= PAIR_BROADCAST_LIMIT:
+        pairs = pairs.materialize()
+        cand = frozenset(pairs.unique("doc_a")) | frozenset(pairs.unique("doc_b"))
+        cand_ref = ray.put(cand)
+
+        def grab(batch: pa.Table) -> pa.Table:
+            cs = ray.get(cand_ref)
+            mask = pa.array([i in cs for i in batch["pid"].to_pylist()])
+            return batch.filter(mask)
+
+        fetched = payload_ds.map_batches(grab, batch_format="pyarrow").take_all()
+        pay_ref = ray.put({r["pid"]: r["payload"] for r in fetched})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            pay = ray.get(pay_ref)
+            pl_a = [pay.get(i) for i in batch["doc_a"].to_pylist()]
+            pl_b = [pay.get(i) for i in batch["doc_b"].to_pylist()]
+            return pa.Table.from_arrays(
+                [
+                    batch["doc_a"],
+                    batch["doc_b"],
+                    pa.array(pl_a),
+                    pa.array(pl_b),
+                ],
+                names=["doc_a", "doc_b", "payload_a", "payload_b"],
+            )
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+    # scale path: two hash joins (payloads shuffle once per side, candidate-
+    # restricted by the inner join)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(cpus - 2, 16))
+    pa_ds = payload_ds.map_batches(
+        lambda b: b.rename_columns(["doc_a", "payload_a"]),
+        batch_format="pyarrow",
+    )
+    pb_ds = payload_ds.map_batches(
+        lambda b: b.rename_columns(["doc_b", "payload_b"]),
+        batch_format="pyarrow",
+    )
+    out = pairs.join(pa_ds, "inner", nparts, on=("doc_a",))
+    return out.join(pb_ds, "inner", nparts, on=("doc_b",))
 
 
 # ----------------------------------------------------------------- SimHash
@@ -264,20 +489,61 @@ def simhash64(tokens: list[str]) -> int:
     )
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """SimHash near-dup candidates: 64-bit simhash split into 4 x 16-bit
-    bands; docs sharing any band are candidates (covers hamming<=3 exactly).
-    Returns (band_id, band_val, doc_ids list) groups with >= 2 members."""
+# Manku-style block tables (WWW'07 "Detecting Near-Duplicates for Web
+# Crawling"): split the 64-bit fingerprint into `blocks` blocks; a pair at
+# hamming distance <= d leaves some (blocks - d)-subset of blocks untouched,
+# so keying C(blocks, d) tables on (blocks - d)-block concatenations gives
+# EXACT hamming<=d blocking with ~2^32-wide keys (vs the 2^16 of naive 16-bit
+# bands, whose buckets blow up ~n/65536 at billions of docs).
+_SIMHASH_BLOCKS = 6
+_SIMHASH_D = 3
+
+
+def _simhash_tables(blocks: int = _SIMHASH_BLOCKS, d: int = _SIMHASH_D):
+    """[(table_id, [block indices kept in the key])] + block bit-ranges."""
+    from itertools import combinations
+
+    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    keep = blocks - d
+    tables = list(enumerate(combinations(range(blocks), keep)))
+    return tables, list(zip(starts.tolist(), sizes))
+
+
+def _simhash_key(h: int, combo, ranges) -> int:
+    key = 0
+    for bi in combo:
+        s, w = ranges[bi]
+        key = (key << w) | ((h >> s) & ((1 << w) - 1))
+    return key
+
+
+def simhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = False,
+    max_hamming: int = _SIMHASH_D,
+    max_group_size: int | None = 10_000,
+):
+    """SimHash near-dup blocking with the hamming<=d guarantee at scale.
+
+    verify=False: candidate groups (band_id, band_val, doc_ids) — band_id is
+    the block-combination table id, band_val the ~32-bit key.
+    verify=True: distributed exact verification — candidate pairs with full
+    64-bit hamming distance <= max_hamming, as a Dataset
+    (doc_a, doc_b, hamming)."""
+    tables, ranges = _simhash_tables(d=max_hamming)
 
     def sig(batch: pa.Table) -> pa.Table:
-        out_band, out_val, out_id = [], [], []
+        out_band, out_val, out_id, out_h = [], [], [], []
         for did, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
             h = simhash64((text or "").lower().split())
-            for band in range(4):
-                out_band.append(band)
-                out_val.append((h >> (16 * band)) & 0xFFFF)
+            for tid, combo in tables:
+                out_band.append(tid)
+                out_val.append(_simhash_key(h, combo, ranges))
                 out_id.append(did)
         return pa.Table.from_arrays(
             [
@@ -308,8 +574,45 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             names=["band_id", "band_val", "doc_ids"],
         )
 
-    return (
+    groups = (
         ds.map_batches(sig, batch_format="pyarrow")
         .groupby(["band_id", "band_val"])
         .map_groups(bucket_groups, batch_format="pyarrow")
     )
+    if not verify:
+        return groups
+
+    pairs = distinct_pairs_from_groups(groups, "doc_ids", max_group_size)
+
+    def fp_payload(batch: pa.Table) -> pa.Table:
+        def _i64(h: int) -> int:
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        fps = [
+            _i64(simhash64((t or "").lower().split()))
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [batch[id_col], pa.array(fps, type=pa.int64())],
+            names=["pid", "payload"],
+        )
+
+    withp = attach_pair_payloads(
+        pairs, ds.map_batches(fp_payload, batch_format="pyarrow")
+    )
+
+    def verify_hamming(batch: pa.Table) -> pa.Table:
+        ha = batch["payload_a"].to_numpy().astype(np.uint64)
+        hb = batch["payload_b"].to_numpy().astype(np.uint64)
+        x = ha ^ hb
+        ham = np.zeros(x.size, dtype=np.int32)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int32)
+            x >>= np.uint64(1)
+        t = pa.Table.from_arrays(
+            [batch["doc_a"], batch["doc_b"], pa.array(ham)],
+            names=["doc_a", "doc_b", "hamming"],
+        )
+        return t.filter(pc.less_equal(t["hamming"], max_hamming))
+
+    return withp.map_batches(verify_hamming, batch_format="pyarrow")

@@ -140,16 +140,27 @@ def rolling_fingerprint(text: str) -> int:
 
 
 class Fingerprint:
+    """Content fingerprints per doc: a 64-bit md5 prefix (hex, the
+    cross-engine-checkable content hash — C-speed via hashlib) plus the
+    FNV-1a rolling fingerprint (engine-internal)."""
+
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
         import warnings
 
+        texts = batch[self.text_col].to_pylist()
+        md5s = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest()[:16] for t in texts]
+        )
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")  # uint64 overflow is the algorithm
             fps = pa.array(
-                [rolling_fingerprint(t or "") for t in batch[self.text_col].to_pylist()],
+                [rolling_fingerprint(t or "") for t in texts],
                 type=pa.int64(),
             )
-        return batch.append_column("fingerprint", fps)
+        return batch.append_column("fingerprint", md5s).append_column(
+            "fingerprint_fnv", fps
+        )

@@ -1,0 +1,150 @@
+"""Distributed near-dup verification stages (round-2 rework): MinHash/LSH,
+SimHash block-combination blocking, embedding cosine near-dup — all verified
+against brute-force oracles; plus the vectorized unique_by_key upsert."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _doc_rows():
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # exact duplicates
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[1]["text"]})
+    # unrelated
+    rows.append({"doc_id": 200, "text": "completely different subject matter entirely"})
+    return rows
+
+
+def _brute_jaccard_pairs(rows, threshold):
+    from anserini_ray.stages.dedup import ngram_jaccard
+
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if ngram_jaccard(a["text"], b["text"]) >= threshold:
+                out.add((min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"])))
+    return out
+
+
+def test_minhash_verify_matches_bruteforce_at_full_recall(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import minhash_lsh_dedup
+
+    rows = _doc_rows()
+    ds = ray.data.from_items(rows)
+    # bands == num_perm -> per-pair recall ~1; verify removes false positives
+    got = minhash_lsh_dedup(
+        ds, num_perm=64, bands=64, threshold=0.6, verify=True
+    ).take_all()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got_pairs == _brute_jaccard_pairs(rows, 0.6)
+    # jaccard values are the exact ratios
+    from anserini_ray.stages.dedup import ngram_jaccard
+
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got}
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    for (a, b), j in by_pair.items():
+        assert j == ngram_jaccard(texts[a], texts[b])
+
+
+def test_simhash_verify_matches_bruteforce(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import simhash64, simhash_dedup
+
+    rows = _doc_rows()
+    ds = ray.data.from_items(rows)
+    got = simhash_dedup(ds, verify=True, max_hamming=3).take_all()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # brute force: hamming distance over full 64-bit fingerprints
+    fps = {r["doc_id"]: simhash64(r["text"].lower().split()) for r in rows}
+    expect = set()
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(fps[ids[i]] ^ fps[ids[j]]).count("1")
+            if d <= 3:
+                expect.add((ids[i], ids[j]))
+    assert got_pairs == expect  # block-combination blocking is EXACT for d<=3
+    for r in got:
+        assert r["hamming"] <= 3
+
+
+def test_embedding_near_dup_returns_verified_pairs(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.ann import embedding_cosine_near_dup
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((60, 16))
+    # plant near-identical pairs
+    vecs[50] = vecs[0] + 1e-6
+    vecs[51] = vecs[1]
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))
+    ]
+    ds = ray.data.from_items(rows)
+    got = embedding_cosine_near_dup(ds, threshold=0.999).take_all()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (0, 50) in pairs and (1, 51) in pairs
+    # verified cosines are exact
+    for r in got:
+        a = vecs[r["vec_a"] % 100] / np.linalg.norm(vecs[r["vec_a"] % 100])
+        b = vecs[r["vec_b"] % 100] / np.linalg.norm(vecs[r["vec_b"] % 100])
+        assert abs(r["cosine"] - float(a @ b)) < 1e-12
+
+
+def test_unique_by_key_vectorized(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import unique_by_key
+
+    rows = [
+        {"k": "a", "t": 1, "v": 10},
+        {"k": "a", "t": 3, "v": 30},
+        {"k": "a", "t": 2, "v": 20},
+        {"k": "b", "t": 5, "v": 50},
+        {"k": "c", "t": 7, "v": 70},
+        {"k": "c", "t": 7, "v": 71},  # exact order tie
+    ]
+    ds = ray.data.from_items(rows)
+    out = unique_by_key(ds, ["k"], "t", keep="last").take_all()
+    by_k = {r["k"]: r for r in out}
+    assert len(out) == 3
+    assert by_k["a"]["t"] == 3 and by_k["a"]["v"] == 30
+    assert by_k["b"]["v"] == 50
+    assert by_k["c"]["t"] == 7 and by_k["c"]["v"] in (70, 71)  # one of the tie
+    first = unique_by_key(ds, ["k"], "t", keep="first").take_all()
+    assert {r["k"]: r["t"] for r in first} == {"a": 1, "b": 5, "c": 7}
+
+
+def test_distinct_pairs_star_cap(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import distinct_pairs_from_groups
+
+    groups = ray.data.from_items(
+        [
+            {"doc_ids": [1, 2, 3]},
+            {"doc_ids": [10, 11, 12, 13, 14]},  # oversized at cap 4
+            {"doc_ids": [2, 3]},  # duplicate pair across groups
+        ]
+    )
+    pairs = distinct_pairs_from_groups(groups, "doc_ids", 4).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) in got
+    # star: only rep-to-member edges for the oversized group
+    star = {p for p in got if p[0] == 10}
+    assert star == {(10, 11), (10, 12), (10, 13), (10, 14)}
+    assert (11, 12) not in got
+    # dedup across groups: (2,3) exactly once
+    assert len([p for p in got if p == (2, 3)]) == 1

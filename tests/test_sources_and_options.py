@@ -181,7 +181,7 @@ def test_dedup_stages(ray_session):
     ]
     ds = ray.data.from_items(rows)
     pairs = minhash_lsh_dedup(ds, threshold=0.5)
-    found = {(r["doc_a"], r["doc_b"]) for r in pairs.to_pylist()}
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.take_all()}
     assert (1, 4) in found  # exact dup always collides
     assert ngram_jaccard(rows[0]["text"], rows[3]["text"]) == 1.0
     assert 0 < ngram_jaccard(rows[0]["text"], rows[1]["text"]) < 1.0
