@@ -289,6 +289,68 @@ def _index_tool(sf_dir: str, fn_name: str):
     return getattr(index_tools, fn_name)(_ensure_index(sf_dir))
 
 
+def _background_linking(sf_dir: str):
+    """News background-linking runs for 3 query docs (rows-only check;
+    per-paragraph tf-idf queries, round-robin merge, cosine dedup)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    query_docids = ["conv-000000:0", "conv-000010:3", "conv-000030:5"]
+    qids, ranks, docs, scores = [], [], [], []
+    for qd in query_docids:
+        d, sc = s.search_background_linking(qd, k_terms=20, hits=10)
+        for r, (di, si) in enumerate(zip(d, sc)):
+            qids.append(qd)
+            ranks.append(r + 1)
+            docs.append(di)
+            scores.append(float(si))
+    return pa.table(
+        {
+            "query_docid": pa.array(qids, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.string()),
+            "score": pa.array(np.asarray(scores), type=pa.float64()),
+        }
+    )
+
+
+def _ltr_training_data(sf_dir: str):
+    """End-to-end labeled LTR rows: a deterministic TREC-format qrels file is
+    derived from the corpus (each benchmark query's BM25 top-8; grade =
+    turn_idx parity — depends only on the docid), parsed by the qrels
+    reader, then joined with topics into per-(qid, doc) features with the
+    grade as the label (reference BaseFeatureExtractor.printFeatures)."""
+    from anserini_ray.pipelines.ltr import ltr_training_data
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    lines = []
+    for qid, text in SIMPLE_QUERIES:
+        d, _ = s.search(text, k=8, adjust_ties=False)
+        for di in d:
+            turn = int(di.rsplit(":", 1)[1])
+            lines.append(f"{qid} 0 {di} {turn % 2}")
+    tag = hashlib.sha1(f"{sf_dir}|qrels".encode()).hexdigest()[:12]
+    qrels_path = f"/tmp/anserini_ray_qrels_{tag}.txt"
+    with open(qrels_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    topics = {str(qid): text for qid, text in SIMPLE_QUERIES}
+    # qrels qids parse as strings; topics keyed to match
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from anserini_ray.sources.qrels import read_qrels
+
+    q = read_qrels(qrels_path)
+    return ltr_training_data(index_dir, topics, q)
+
+
 def entry() -> Any:
     return _engine_run(_DEF_SF)
 
@@ -337,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_axiom": lambda sf: _mode_run(sf, "axiom"),
         "qld_topk": lambda sf: _mode_run(sf, "qld"),
         "ltr_features": _ltr_features,
+        "ltr_training_data": _ltr_training_data,
+        "background_linking": _background_linking,
         # --- index dump utilities (IndexUtils/Extract* analogs) ---
         "index_docids_sorted": lambda sf: _index_tool(sf, "dump_docids_sorted"),
         "index_doc_lengths": lambda sf: _index_tool(sf, "dump_doc_lengths"),

@@ -313,6 +313,13 @@ def make_analyzer(config: dict | None = None):
         return TweetAnalyzer(stemming=config.get("stemming", True))
     if config and config.get("type") == "slr":
         return SLRAnalyzer(precision=config.get("precision", 2))
+    if config and config.get("language") not in (None, "en"):
+        # reference -language flag (IndexCollection.java:755-769)
+        from .lang import make_language_analyzer
+
+        return make_language_analyzer(
+            config["language"], config.get("stopwords")
+        )
     config = dict(DEFAULT_ANALYZER_CONFIG, **(config or {}))
     config.pop("type", None)
     stop = config["stopwords"]

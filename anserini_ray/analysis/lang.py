@@ -1,0 +1,310 @@
+"""Per-language analysis chains — the reference selects stock Lucene
+analyzers by the `-language` flag (`J/index/IndexCollection.java:739-773`,
+`J/search/SearchCollection.java:231-260`): zh→CJKAnalyzer, de→GermanAnalyzer,
+fr→FrenchAnalyzer, es→SpanishAnalyzer (ar/hi/bn remain unported hooks).
+
+Fidelity notes (the reference repo commits NO language-analyzer test
+fixtures, and no JVM exists in this sandbox to generate Lucene goldens, so
+parity below is algorithmic, verified by self-authored token goldens):
+
+- zh: CJK bigram chain (StandardTokenizer's per-ideograph tokens →
+  CJKBigramFilter semantics: n-char han run → n-1 overlapping bigrams,
+  isolated chars pass as unigrams; latin subtokens lowercased; CJKAnalyzer
+  default stop set). High fidelity.
+- de: lowercase → German stop set → normalization (ß→ss; umlaut fold) →
+  GermanLightStemFilter (Savoy's light stemmer as implemented by Lucene's
+  GermanLightStemmer step1/step2). Normalization approximates Lucene's
+  GermanNormalizationFilter (the ae/oe/ue digraph state machine is omitted).
+- es: lowercase → Spanish stop set → SpanishLightStemmer (accent fold +
+  plural/gender suffix rules incl. ces→z). High fidelity.
+- fr: elision (l'/d'/qu' … article strip, Lucene DEFAULT_ARTICLES) →
+  lowercase → French stop set → SIMPLIFIED Savoy-style light stemmer
+  (aux→al, plural x/s, -ement, final-vowel trim, accent fold, double-final-
+  consonant collapse). Marked simplified vs Lucene's FrenchLightStemmer.
+
+Stop sets are the common cores of the snowball lists Lucene ships; extend
+via config {"stopwords": [...]} for exact corpora.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --------------------------------------------------------------- stop sets
+
+CJK_STOP_WORDS = frozenset(
+    "a and are as at be but by for if in into is it no not of on or s such t "
+    "that the their then there these they this to was will with www".split()
+)
+
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere anderem
+    anderen anderer anderes anderm andern anderr anders auch auf aus bei bin
+    bis bist da damit dann das dasselbe dazu daß dass dein deine deinem
+    deinen deiner deines dem demselben den denn denselben der derer derselbe
+    derselben des desselben dessen dich die dies diese dieselbe dieselben
+    diesem diesen dieser dieses dir doch dort du durch ein eine einem einen
+    einer eines einig einige einigem einigen einiger einiges einmal er es
+    etwas euch euer eure eurem euren eurer eures für gegen gewesen hab habe
+    haben hat hatte hatten hier hin hinter ich ihm ihn ihnen ihr ihre ihrem
+    ihren ihrer ihres im in indem ins ist jede jedem jeden jeder jedes jene
+    jenem jenen jener jenes jetzt kann kein keine keinem keinen keiner
+    keines können könnte machen man manche manchem manchen mancher manches
+    mein meine meinem meinen meiner meines mich mir mit muss musste nach
+    nicht nichts noch nun nur ob oder ohne sehr sein seine seinem seinen
+    seiner seines selbst sich sie sind so solche solchem solchen solcher
+    solches soll sollte sondern sonst um und uns unse unsem unsen unser
+    unses unter viel vom von vor war waren warst was weg weil weiter welche
+    welchem welchen welcher welches wenn werde werden wie wieder will wir
+    wird wirst wo wollen wollte während würde würden zu zum zur zwar
+    zwischen""".split()
+)
+
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il ils je la le les
+    leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+    pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
+    vous c d j l à m n s t y été étée étées étés étant suis es est sommes
+    êtes sont serai seras sera serons serez seront serais serait serions
+    seriez seraient étais était étions étiez étaient fus fut fûmes fûtes
+    furent sois soit soyons soyez soient fusse fusses fût fussions fussiez
+    fussent ayant eu eue eues eus ai as avons avez ont aurai auras aura
+    aurons aurez auront aurais aurait aurions auriez auraient avais avait
+    avions aviez avaient eut eûmes eûtes eurent aie aies ait ayons ayez
+    aient eusse eusses eût eussions eussiez eussent""".split()
+)
+
+SPANISH_STOP_WORDS = frozenset(
+    """de la que el en y a los del se las por un para con no una su al lo
+    como más pero sus le ya o este sí porque esta entre cuando muy sin
+    sobre también me hasta hay donde quien desde todo nos durante todos uno
+    les ni contra otros ese eso ante ellos e esto mí antes algunos qué unos
+    yo otro otras otra él tanto esa estos mucho quienes nada muchos cual
+    poco ella estar estas algunas algo nosotros mi mis tú te ti tu tus
+    ellas nosotras vosotros vosotras os mío mía míos mías tuyo tuya tuyos
+    tuyas suyo suya suyos suyas nuestro nuestra nuestros nuestras vuestro
+    vuestra vuestros vuestras esos esas estoy estás está estamos estáis
+    están esté estés estemos estéis estén estaré estarás estará estaremos
+    estaréis estarán es somos sois son sea seas seamos seáis sean seré
+    serás será seremos seréis serán era eras éramos erais eran fui fuiste
+    fue fuimos fuisteis fueron he has ha hemos habéis han haya hayas
+    hayamos hayáis hayan tengo tienes tiene tenemos tenéis tienen""".split()
+)
+
+# Lucene FrenchAnalyzer.DEFAULT_ARTICLES (ElisionFilter)
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"]
+)
+
+_HAN_RUN = re.compile(r"[⺀-⻿々〇〡-〩一-鿿豈-﫿]+")
+_WORD_RUN = re.compile(r"[0-9A-Za-zÀ-ɏ]+(?:'[0-9A-Za-zÀ-ɏ]+)*")
+
+
+# ------------------------------------------------------------ light stemmers
+
+def german_light_stem(word: str) -> str:
+    """Lucene GermanLightStemmer (Savoy): umlaut fold, then two suffix
+    steps (-ern/-em/-en/-er/-es/-e/-s·st-ending; -est/-er/-en/-t)."""
+    s = list(
+        word.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+    st_ending = set("bdfghklmnt")
+
+    n = len(s)
+    # step 1
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "r" and s[n - 1] == "n":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in ("m", "n", "r", "s"):
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in st_ending:
+        n -= 1
+    # step 2
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "s" and s[n - 1] == "t":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in ("r", "n"):
+        n -= 2
+    elif n > 3 and s[n - 1] == "t" and s[n - 2] in st_ending:
+        n -= 1
+    return "".join(s[:n])
+
+
+_ES_FOLD = str.maketrans("áàâäéèêëíìîïóòôöúùûü", "aaaaeeeeiiiioooouuuu")
+
+
+def spanish_light_stem(word: str) -> str:
+    """Lucene SpanishLightStemmer (Savoy): accent fold + final o/a/e,
+    plural -s (os/as/es), -ces -> -z."""
+    if len(word) < 5:
+        return word.translate(_ES_FOLD)
+    s = word.translate(_ES_FOLD)
+    n = len(s)
+    last = s[n - 1]
+    if last in ("o", "a", "e"):
+        return s[: n - 1]
+    if last == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return s[: n - 2]
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            return s[: n - 3] + "z"
+        if s[n - 2] in ("o", "a", "e"):
+            return s[: n - 2]
+    return s
+
+
+_FR_FOLD = str.maketrans("àâäéèêëîïôöùûüç", "aaaeeeeiioouuuc")
+
+
+def french_light_stem(word: str) -> str:
+    """SIMPLIFIED Savoy-style French light stemmer (see module docstring):
+    aux->al, plural x/s, -ement, final e/é trim, accent fold, final double
+    consonant collapse. NOT token-identical to Lucene FrenchLightStemmer."""
+    s = word
+    if len(s) > 5 and s.endswith("x"):
+        if s.endswith("aux") and not s.endswith("eaux"):
+            s = s[:-2] + "l"
+        else:
+            s = s[:-1]
+    if len(s) > 3 and s.endswith("x"):
+        s = s[:-1]
+    if len(s) > 3 and s.endswith("s"):
+        s = s[:-1]
+    if len(s) > 8 and s.endswith("issement"):
+        s = s[:-6]  # -issement -> -iss
+    elif len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]  # -ement -> -e
+    s = s.translate(_FR_FOLD)
+    while len(s) > 4 and s[-1] in ("e", "r"):
+        s = s[:-1]
+    if len(s) > 4 and s[-1] == s[-2] and s[-1] not in "aeiou":
+        s = s[:-1]
+    return s
+
+
+# --------------------------------------------------------------- analyzers
+
+class CJKAnalyzer:
+    """zh chain: han runs -> overlapping bigrams (unigram when isolated),
+    latin/digit runs lowercased, CJK default stop set."""
+
+    def __init__(self, stopwords: frozenset[str] = CJK_STOP_WORDS):
+        self.stopwords = stopwords
+
+    def config_fingerprint(self) -> str:
+        return f"cjk+bigram+stop{len(self.stopwords)}"
+
+    def _tokens_with_positions(self, text: str):
+        # walk the text in order, interleaving han runs and word runs
+        events = []
+        for m in _HAN_RUN.finditer(text):
+            events.append((m.start(), "han", m.group(0)))
+        for m in _WORD_RUN.finditer(text):
+            if _HAN_RUN.search(m.group(0)):
+                continue
+            events.append((m.start(), "word", m.group(0)))
+        events.sort()
+        pos = 0
+        out = []
+        for _, kind, run in events:
+            if kind == "word":
+                tok = run.lower()
+                if tok not in self.stopwords:
+                    out.append((tok, pos))
+                pos += 1
+                continue
+            if len(run) == 1:
+                out.append((run, pos))
+                pos += 1
+            else:
+                for i in range(len(run) - 1):
+                    out.append((run[i : i + 2], pos))
+                    pos += 1
+                pos += 1  # last char consumes a position like Lucene's
+        return out
+
+    def analyze(self, text: str) -> list[str]:
+        return [t for t, _ in self._tokens_with_positions(text)]
+
+    def analyze_with_positions(self, text: str):
+        toks = self._tokens_with_positions(text)
+        return [t for t, _ in toks], [p for _, p in toks]
+
+
+class LanguageAnalyzer:
+    """de/fr/es chains (module docstring); shares the Analyzer interface
+    (analyze / analyze_with_positions / config_fingerprint)."""
+
+    def __init__(self, language: str, stopwords=None):
+        if language not in ("de", "fr", "es"):
+            raise ValueError(
+                f"unsupported language {language!r} (zh|de|fr|es; "
+                "ar/hi/bn are unported hooks)"
+            )
+        self.language = language
+        defaults = {
+            "de": GERMAN_STOP_WORDS,
+            "fr": FRENCH_STOP_WORDS,
+            "es": SPANISH_STOP_WORDS,
+        }
+        self.stopwords = (
+            frozenset(stopwords) if stopwords is not None else defaults[language]
+        )
+        self.stem = {
+            "de": german_light_stem,
+            "fr": french_light_stem,
+            "es": spanish_light_stem,
+        }[language]
+        self._memo: dict[str, str | None] = {}
+
+    def config_fingerprint(self) -> str:
+        return f"lang-{self.language}+stop{len(self.stopwords)}+light"
+
+    def _process(self, raw: str) -> str | None:
+        tok = raw
+        if self.language == "fr" and "'" in tok:
+            head, _, tail = tok.partition("'")
+            if head.lower() in FRENCH_ARTICLES and tail:
+                tok = tail  # ElisionFilter
+        tok = tok.lower()
+        if self.language == "de":
+            tok = tok.replace("ß", "ss")  # GermanNormalizationFilter (approx)
+        if not tok or tok in self.stopwords:
+            return None
+        tok = self.stem(tok)
+        return tok or None
+
+    def _raw_tokens(self, text: str) -> list[str]:
+        return [m.group(0) for m in _WORD_RUN.finditer(text)]
+
+    def analyze(self, text: str) -> list[str]:
+        memo = self._memo
+        out = []
+        _MISS = False
+        for raw in self._raw_tokens(text):
+            tok = memo.get(raw, _MISS)
+            if tok is _MISS:
+                tok = self._process(raw)
+                if len(memo) < 2_000_000:
+                    memo[raw] = tok
+            if tok is not None:
+                out.append(tok)
+        return out
+
+    def analyze_with_positions(self, text: str):
+        out, pos = [], []
+        for p, raw in enumerate(self._raw_tokens(text)):
+            tok = self._process(raw)
+            if tok is not None:
+                out.append(tok)
+                pos.append(p)
+        return out, pos
+
+
+def make_language_analyzer(language: str, stopwords=None):
+    if language == "zh":
+        return CJKAnalyzer(
+            frozenset(stopwords) if stopwords is not None else CJK_STOP_WORDS
+        )
+    return LanguageAnalyzer(language, stopwords)

@@ -68,12 +68,18 @@ class LtrFeatureExtractor:
                 return None
         return None
 
-    def _features(self, query: str, docid: str) -> list[float]:
+    def _features(self, query: str, docid: str) -> list[float] | None:
         s = self.s
+        if all(r.docid_to_local(docid) is None for r in s.readers):
+            # reference: "Document Id %s expected but not found in index,
+            # skipping" (BaseFeatureExtractor.java:235-238)
+            return None
         qtoks = s.analyzer.analyze(query)
         dv = s.doc_vector(docid)
         dl = sum(dv.values())
-        uniq = set(qtoks)
+        # first-occurrence order (NOT a set): float accumulation order must
+        # be process-independent for deterministic features
+        uniq = list(dict.fromkeys(qtoks))
         matching = [t for t in uniq if t in dv]
         sum_tf = float(sum(dv[t] for t in matching))
 
@@ -180,24 +186,28 @@ class LtrFeatureExtractor:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids = batch["qid"].to_pylist()
         queries = batch["query"].to_pylist()
         docids = batch["doc_id"].to_pylist()
         rows = [
             self._features(q, d) for q, d in zip(queries, docids)
         ]
+        keep = [i for i, r in enumerate(rows) if r is not None]
+        if len(keep) < len(rows):  # docs absent from the index are skipped
+            batch = batch.take(pa.array(keep))
+            rows = [rows[i] for i in keep]
         arr = np.asarray(rows, dtype=np.float64).reshape(len(rows), len(FEATURE_NAMES))
-        cols = [batch["qid"], batch["doc_id"]] + [
-            pa.array(arr[:, i]) for i in range(len(FEATURE_NAMES))
-        ]
-        return pa.Table.from_arrays(
-            cols, names=["qid", "doc_id"] + FEATURE_NAMES
-        )
+        cols = [batch["qid"], batch["doc_id"]]
+        names = ["qid", "doc_id"]
+        if "label" in batch.column_names:  # qrels grade passthrough
+            cols.append(batch["label"])
+            names.append("label")
+        cols += [pa.array(arr[:, i]) for i in range(len(FEATURE_NAMES))]
+        return pa.Table.from_arrays(cols, names=names + FEATURE_NAMES)
 
 
 def extract_features(index_dir: str, pairs, concurrency=(1, 4)):
-    """pairs: Ray Dataset (or pa.Table) with (qid, query, doc_id) →
-    feature table via the actor-pool extractor."""
+    """pairs: Ray Dataset (or pa.Table) with (qid, query, doc_id[, label]) →
+    feature table via the actor-pool extractor (label passes through)."""
     import ray.data
 
     if isinstance(pairs, pa.Table):
@@ -208,3 +218,55 @@ def extract_features(index_dir: str, pairs, concurrency=(1, 4)):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def ltr_training_data(index_dir: str, topics: dict, qrels, concurrency=(1, 4)):
+    """Labeled LTR training rows: qrels ⋈ topics → per-(qid, doc) feature
+    extraction with the relevance grade as the label column.
+
+    Mirrors the reference's printFeatures loop (`J/ltr/
+    BaseFeatureExtractor.java:212-246`): iterate the qrels' (qid, docid,
+    grade) triples, skip qids without a topic, extract the feature vector
+    per judged doc, emit `grade` as the supervision label (negatives clamped
+    to 0 per Qrels.getRelevanceGrade, Qrels.java:83).
+
+    topics: {qid: query text}; qrels: pa.Table (qid, doc_id, grade) from
+    sources.qrels (or a path string). Docs absent from the index are
+    dropped by the extractor's doc lookup — matching the reference's
+    "expected but not found, skipping" warning path."""
+    import pyarrow.compute as pc
+
+    if isinstance(qrels, str):
+        from ..sources.qrels import read_qrels
+
+        qrels = read_qrels(qrels)
+    # broadcast-side topics lookup: one row per qrel with the query text
+    qtexts = pa.array(
+        [topics.get(q) for q in qrels["qid"].to_pylist()], type=pa.string()
+    )
+    grades = pc.max_element_wise(qrels["grade"], 0)  # clamp negatives
+    pairs = pa.Table.from_arrays(
+        [qrels["qid"], qtexts, qrels["doc_id"], pc.cast(grades, pa.int32())],
+        names=["qid", "query", "doc_id", "label"],
+    ).filter(pc.is_valid(qtexts))
+    return extract_features(index_dir, pairs, concurrency=concurrency)
+
+
+def to_ranklib_lines(features: pa.Table) -> list[str]:
+    """RankLib/SVM-rank lines `grade qid:<q> 1:<f> ... # <docid>` —
+    constructOutputString (`BaseFeatureExtractor.java:71-86`)."""
+    out = []
+    label = (
+        features["label"].to_pylist()
+        if "label" in features.column_names
+        else [0] * features.num_rows
+    )
+    qids = features["qid"].to_pylist()
+    docs = features["doc_id"].to_pylist()
+    fcols = [features[n].to_pylist() for n in FEATURE_NAMES]
+    for i in range(features.num_rows):
+        feats = " ".join(
+            f"{j + 1}:{fcols[j][i]}" for j in range(len(FEATURE_NAMES))
+        )
+        out.append(f"{label[i]} qid:{qids[i]} {feats} # {docs[i]}")
+    return out

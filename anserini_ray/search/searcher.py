@@ -460,6 +460,127 @@ class LocalSearcher:
             out_scores = adjust_score_ties(out_scores)
         return out_ids, out_scores
 
+    def search_background_linking(
+        self,
+        query_docid: str,
+        k_terms: int = 100,
+        hits: int = DEFAULT_K,
+        weighted: bool = False,
+        paragraph: bool = False,
+        text_provider=None,
+        exclude_docids=None,
+        dedup_threshold: float = 0.9,
+    ):
+        """News background-linking search (reference
+        `SearchCollection.searchBackgroundLinking`,
+        SearchCollection.java:488-564 + `BackgroundLinkingTopicReader.
+        generateQueryString`:130-188 + `NewsBackgroundLinkingReranker`):
+
+        1. Query construction per paragraph (first 5, via text_provider and
+           blank-line splitting — the reference re-parses stored WaPo JSON)
+           or whole-doc (the doc's stored term vector): keep analyzed tokens
+           matching `[a-z]{2,}`, score tfIdf = tf * ln((1+N)/df), take the
+           top k_terms (score desc, term case-insensitive asc tie-break);
+           `weighted` boosts each term clause by its tfIdf.
+        2. Per-paragraph search with docid score-tie break; the reference's
+           kicker MUST_NOT filter (Opinions / Letters to the Editor / The
+           Post's View) generalizes to the exclude_docids set — our schema
+           has no kicker column, so the caller materializes the exclusion
+           from its own metadata.
+        3. Round-robin merge across paragraph result lists with score =
+           hits - idx (SearchCollection.java:534-559).
+        4. Near-dup removal: drop results whose tf-vector cosine vs the
+           query doc >= 0.9, then pairwise among survivors (keep earlier) —
+           NewsBackgroundLinkingReranker.java:57-70. Requires
+           store_docvecs=True.
+        """
+        import math as _math
+        import re as _re
+
+        N = self.manifest.doc_count
+        word_re = _re.compile(r"[a-z]+$")
+        qvec = self.doc_vector(query_docid)
+        if paragraph:
+            if text_provider is None:
+                raise ValueError("paragraph mode needs a text_provider")
+            paras = [
+                p for p in _re.split(r"\n\s*\n", text_provider(query_docid))
+                if p.strip()
+            ][:5]
+            token_maps = []
+            for p in paras:
+                counts: dict[str, int] = {}
+                for t in self.analyzer.analyze(p):
+                    counts[t] = counts.get(t, 0) + 1
+                token_maps.append(counts)
+        else:
+            token_maps = [qvec]
+
+        exclude = frozenset(exclude_docids or ())
+        per_para = []
+        for counts in token_maps:
+            scored = []
+            for term, cnt in counts.items():
+                if len(term) < 2 or not word_re.match(term):
+                    continue
+                df = self._global_df(term)
+                tfidf = cnt * _math.log((1.0 + N) / df) if df > 0 else 0.0
+                scored.append((term, tfidf))
+            scored.sort(key=lambda p: (-p[1], p[0].lower()))
+            top = scored[:k_terms]
+            if not top:
+                per_para.append([])
+                continue
+            weights = [(t, (w if weighted else 1.0)) for t, w in top]
+            d, s = self.search_weighted(weights, k=hits + len(exclude),
+                                        adjust_ties=False)
+            pairs = [
+                (di, float(si)) for di, si in zip(d, s) if di not in exclude
+            ]
+            per_para.append(pairs[:hits])
+
+        # round-robin merge; rank score = hits - idx. Duplicate docs across
+        # paragraph lists (and the query doc itself) are NOT skipped here —
+        # the cosine reranker removes them, exactly like the reference
+        # (identical docvecs -> cosine 1.0 >= 0.9).
+        total = min(hits, sum(len(p) for p in per_para))
+        merged: list[tuple[str, float]] = []
+        row = 0
+        while len(merged) < total:
+            progressed = False
+            for plist in per_para:
+                if row < len(plist) and len(merged) < total:
+                    progressed = True
+                    merged.append((plist[row][0], float(hits - len(merged))))
+            if not progressed:
+                break
+            row += 1
+
+        # near-duplicate removal via docvec cosine
+        def _cos(a: dict, b: dict) -> float:
+            if not a or not b:
+                return 0.0
+            dot = sum(v * b[t] for t, v in a.items() if t in b)
+            na = _math.sqrt(sum(v * v for v in a.values()))
+            nb = _math.sqrt(sum(v * v for v in b.values()))
+            return dot / (na * nb) if na and nb else 0.0
+
+        vecs = [self.doc_vector(d) for d, _ in merged]
+        removed: set[int] = set()
+        for i in range(len(merged)):
+            if i in removed:
+                continue
+            if _cos(qvec, vecs[i]) >= dedup_threshold:
+                removed.add(i)
+                continue
+            for j in range(i + 1, len(merged)):
+                if _cos(vecs[i], vecs[j]) >= dedup_threshold:
+                    removed.add(j)
+        out = [merged[i] for i in range(len(merged)) if i not in removed]
+        docids = [d for d, _ in out]
+        scores = np.array([s for _, s in out], dtype=np.float32)
+        return docids, scores
+
     def doc_vector_by_ord(self, global_ord: int) -> dict[str, int]:
         seg = global_ord >> self.manifest.seg_shift
         for r in self.readers:

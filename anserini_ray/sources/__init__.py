@@ -16,6 +16,7 @@ from .topics import (
     read_tsv_string_topics,
     read_tsv_topics,
 )
+from .qrels import Qrels, parse_qrels_lines, read_qrels
 from .trec_collection import read_trec_collection
 from .web_collections import (
     read_clean_trec_collection,
@@ -34,6 +35,7 @@ __all__ = [
     "read_core_collection", "read_acl_anthology", "read_tweet_collection",
     "read_tsv_topics", "read_tsv_string_topics", "read_trec_topics",
     "read_microblog_topics",
+    "Qrels", "parse_qrels_lines", "read_qrels",
     "read_trecweb_collection", "read_clean_trec_collection",
     "read_clueweb_collection", "read_wapo_collection", "read_nyt_collection",
     "read_wikipedia_collection",
