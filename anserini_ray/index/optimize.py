@@ -41,6 +41,8 @@ def _compact_group(group: pa.Table) -> pa.Table:
             blob = group["pos_blob"][i].as_py()
             if blob:
                 pos_parts.append((blob, int(tfs.sum())))
+            else:
+                pos_parts.append(None)
     ords = np.concatenate(ords_parts)
     tfs = np.concatenate(tf_parts)
     # min_dl metadata must survive: reuse stored per-block min_dl by
@@ -57,7 +59,14 @@ def _compact_group(group: pa.Table) -> pa.Table:
     (dblob, tblob, bf, bn, bmt, bmd, bdo, bto) = _encode_term_run(
         ords, tfs, dls, block_size
     )
-    pos_blob = b"".join(p for p, _ in pos_parts) if pos_parts else b""
+    # positions are valid only if EVERY run carries them — a mixed group
+    # (e.g. index upgraded across format versions) would silently misalign
+    # concatenated position streams with the postings, so drop positions
+    # for the whole term in that case.
+    if pos_parts and all(p is not None for p in pos_parts):
+        pos_blob = b"".join(p for p, _ in pos_parts)
+    else:
+        pos_blob = b""
     return pa.Table.from_arrays(
         [
             pa.array([int(group["segment_id"][0].as_py())], type=pa.int64()),
@@ -84,7 +93,21 @@ def _compact_group(group: pa.Table) -> pa.Table:
     )
 
 
+def recover_interrupted_optimize(index_dir: str) -> bool:
+    """A crash between the two os.replace calls of the swap leaves the index
+    with no postings/ but an intact postings.old — restore it. Called by
+    optimize_index and by SegmentReader open when postings/ is missing.
+    Returns True if a recovery happened."""
+    post_dir = os.path.join(index_dir, "postings")
+    old_dir = os.path.join(index_dir, "postings.old")
+    if not os.path.isdir(post_dir) and os.path.isdir(old_dir):
+        os.replace(old_dir, post_dir)
+        return True
+    return False
+
+
 def optimize_index(index_dir: str, shuffle_partitions: int | None = 32) -> None:
+    recover_interrupted_optimize(index_dir)
     post_dir = os.path.join(index_dir, "postings")
     tmp_dir = os.path.join(index_dir, "postings.optimizing")
     shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -42,9 +42,14 @@ class SegmentReader:
         self._decode_cache_postings = 0
         self._decode_cache_limit = 4_000_000  # ~32 MB of int64+int32
 
-        post = pq.read_table(
-            os.path.join(index_dir, "postings", f"segment_id={segment_id}")
-        )
+        post_path = os.path.join(index_dir, "postings", f"segment_id={segment_id}")
+        if not os.path.isdir(os.path.join(index_dir, "postings")):
+            # crash-window recovery: an interrupted optimize swap leaves
+            # only postings.old (see optimize.recover_interrupted_optimize)
+            from ..index.optimize import recover_interrupted_optimize
+
+            recover_interrupted_optimize(index_dir)
+        post = pq.read_table(post_path)
         # order rows by (term, first_local) so a term's runs are adjacent
         order = pc.sort_indices(
             post, sort_keys=[("term", "ascending"), ("first_local", "ascending")]

@@ -65,30 +65,47 @@ def parse_clean_trec_file(lines) -> list[tuple[str, str, str]]:
 
 
 # --------------------------------------------------------------------- WARC
+_HDR_END = None  # compiled lazily (re import below)
+
+
 def parse_warc(stream_bytes: bytes, version: str = "WARC/0.18"):
-    """-> [(trec_id_or_None, warc_type, raw_content)] per record."""
-    text = stream_bytes.decode("utf-8", errors="replace")
+    """-> [(trec_id_or_None, warc_type, raw_content)] per record.
+
+    BYTE-level parsing: the header terminator matches both LF-only and
+    spec-conformant CRLF (`\\r?\\n\\r?\\n`), and the body is sliced by
+    Content-Length BYTES before decoding — character-offset slicing of a
+    decoded stream misaligns on CRLF or non-ASCII records (the reference
+    reads bytes via readLine, which handles both endings)."""
+    import re
+
+    global _HDR_END
+    if _HDR_END is None:
+        _HDR_END = re.compile(rb"\r?\n\r?\n")
+    marker = version.encode()
     out = []
     pos = 0
-    n = len(text)
     while True:
-        start = text.find(version, pos)
+        start = stream_bytes.find(marker, pos)
         if start == -1:
             break
-        hdr_end = text.find("\n\n", start)
-        if hdr_end == -1:
+        m = _HDR_END.search(stream_bytes, start)
+        if m is None:
             break
-        header = text[start:hdr_end]
+        header = stream_bytes[start : m.start()].decode(
+            "utf-8", errors="replace"
+        )
         fields: dict[str, str] = {}
-        for line in header.split("\n")[1:]:
+        for line in header.splitlines()[1:]:
             k, _, v = line.partition(":")
             fields[k.strip()] = v.strip()
         try:
             length = int(fields.get("Content-Length", "0"))
         except ValueError:
             length = 0
-        body_start = hdr_end + 2
-        body = text[body_start : body_start + length]
+        body_start = m.end()
+        body = stream_bytes[body_start : body_start + length].decode(
+            "utf-8", errors="replace"
+        )
         pos = body_start + length
         out.append(
             (

@@ -39,7 +39,9 @@ def clean_wikitext(text: str) -> str:
     text = _LINK.sub(r"\1", text)
     text = _HEADING.sub(r"\1", text)
     text = _EMPH.sub("", text)
-    return text.replace("\n", " ").strip()
+    # reference collapses newline RUNS to one space each
+    # (WikipediaCollection.java:76: replaceAll("\\n+", " "))
+    return re.sub(r"\n+", " ", text).strip()
 
 
 def parse_wikipedia(data: bytes) -> list[tuple[str, str]]:
@@ -57,7 +59,11 @@ def parse_wikipedia(data: bytes) -> list[tuple[str, str]]:
         title = html.unescape(tm.group(1)) if tm else ""
         xm = _TEXT.search(body)
         wikitext = html.unescape(xm.group(1)) if xm else ""
-        out.append((title, f"{title}.\n{clean_wikitext(wikitext)}"))
+        cleaned = clean_wikitext(wikitext)
+        if cleaned.startswith("#REDIRECT"):
+            # reference skips redirect stubs (WikipediaCollection.java:78)
+            continue
+        out.append((title, f"{title}.\n{cleaned}"))
     return out
 
 
