@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
         "ann_lsh_topk": TD.ann_lsh_topk,
+        "ann_ivf_topk": TD.ann_ivf_topk,
         "ann_fake_words": _ann_fake_words,
         "slr_topk": _slr_topk,
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---

@@ -86,6 +86,18 @@ def _load_collection(path: str, kind: str, max_id):
         from .sources.tweet_collection import read_tweet_collection
 
         return read_tweet_collection(path, max_id=max_id)
+    if kind == "html":
+        from .sources.html_collection import read_html_collection
+
+        return read_html_collection(path)
+    if kind == "car":
+        from .sources.car_collection import read_car_collection
+
+        return read_car_collection(path)
+    if kind.startswith("covid"):
+        from .sources.covid_collections import read_covid_collection
+
+        return read_covid_collection(path, kind)
     raise SystemExit(f"unknown collection kind {kind!r}")
 
 
@@ -97,7 +109,9 @@ def cmd_index(argv) -> int:
         "-collection",
         default="parquet",
         choices=["parquet", "json", "trec", "trecweb", "cleantrec", "cw09",
-                 "cw12", "wapo", "nyt", "wikipedia", "bibtex", "core", "acl",
+                 "cw12", "wapo", "nyt", "wikipedia", "bibtex", "core", "acl", "html", "car",
+                 "covid", "covid_fulltext", "covid_paragraph",
+                 "covid_trialstreamer",
                  "tweets"],
     )
     p.add_argument("-storePositions", action="store_true")

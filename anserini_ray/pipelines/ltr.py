@@ -31,9 +31,125 @@ import pyarrow as pa
 
 FEATURE_NAMES = [
     "doc_size", "query_length", "matching_term_count", "unique_term_count",
-    "sum_matching_tf", "bm25", "tfidf", "avg_idf", "avg_ictf", "scq",
-    "simplified_clarity", "ordered_pairs", "unordered_pairs", "pmi",
+    "sum_matching_tf", "sum_term_frequency", "unigrams",
+    "bm25", "tfidf", "avg_idf", "avg_ictf", "scq", "simplified_clarity",
+    "ordered_pairs", "unordered_pairs",          # sequential bigrams, gap 8
+    "ordered_pairs_6", "unordered_pairs_6",      # gap 6
+    "ordered_pairs_10", "unordered_pairs_10",    # gap 10
+    "ordered_all_pairs", "unordered_all_pairs",  # ALL query pairs, gap 8
+    "sdm", "pmi",
+    # tweet-family features (HashtagCount/LinkCount from indexed terms —
+    # the TweetAnalyzer preserves #hashtags and URLs; IsTweetReply and the
+    # follower/friend counts pass through from optional metadata columns on
+    # the input pair table, 0 when absent)
+    "hashtag_count", "link_count", "is_reply",
+    "followers_count", "friends_count",
 ]
+
+_PASSTHROUGH = {"is_reply", "followers_count", "friends_count"}
+
+
+def _stream_from_posmap(posmap: dict[str, list[int]]) -> list[str]:
+    """Token stream in position order — the TokenStreamFromTermVector
+    reconstruction the reference extractors run on."""
+    flat = [(p, t) for t, ps in posmap.items() for p in ps]
+    flat.sort()
+    return [t for _, t in flat]
+
+
+def _count_pairs(stream, pair_map, back_map, gaps):
+    """CountBigramPairs.countPairs (`J/ltr/feature/CountBigramPairs.java`),
+    reduced to its equivalent quadratic form: for every stream position i
+    whose token x keys pair_map, count stream[j] in pair_map[x] for
+    j in (i, i+gap]; back_map matches credit the SECOND token's key."""
+    counters = {g: {} for g in gaps}
+    maxgap = max(gaps)
+    n = len(stream)
+    for i, x in enumerate(stream):
+        fwd = pair_map.get(x)
+        if fwd is not None:
+            for j in range(i + 1, min(i + maxgap + 1, n)):
+                if stream[j] in fwd:
+                    d = j - i
+                    for g in gaps:
+                        if d <= g:
+                            c = counters[g]
+                            c[x] = c.get(x, 0) + 1
+        if back_map:
+            bwd = back_map.get(x)
+            if bwd is not None:
+                for j in range(i + 1, min(i + maxgap + 1, n)):
+                    y = stream[j]
+                    if y in bwd:
+                        d = j - i
+                        for g in gaps:
+                            if d <= g:
+                                c = counters[g]
+                                c[y] = c.get(y, 0) + 1
+    return counters
+
+
+def _sdm_feature(stream, qtoks, lambda_t=0.5, lambda_o=0.2, lambda_u=0.3,
+                 window=8):
+    """SequentialDependenceModel LTR feature
+    (`J/ltr/feature/SequentialDependenceModel.java`), quirks ported:
+    the 'full independence' component sums log((count+1)/(|D|+1)) over ALL
+    distinct doc tokens (the reference adds unseen tokens to the count map),
+    and the unordered component falls back to the smoothing count when a
+    pair never co-occurs."""
+    import math
+
+    n = len(stream)
+    if n == 0 or len(qtoks) == 0:
+        return 0.0
+    # independence: count map seeded with query tokens, grown by all tokens
+    term_count = {t: 0 for t in qtoks}
+    for tok in stream:
+        term_count[tok] = term_count.get(tok, 0) + 1
+    denom = float(n + 1)
+    independent = sum(
+        math.log((c + 1) / denom) for c in term_count.values()
+    )
+    if len(qtoks) < 2:
+        return lambda_t * independent
+    pair_map = {}
+    for i in range(len(qtoks) - 1):
+        pair_map[qtoks[i]] = qtoks[i + 1]  # later pairs overwrite (HashMap)
+    # ordered: state machine over the stream
+    phrase = {t: 0 for t in pair_map}
+    expected = ""
+    to_increment = ""
+    for tok in stream:
+        if tok == expected:
+            phrase[to_increment] += 1
+        if tok in pair_map:
+            expected = pair_map[tok]
+            to_increment = tok
+        else:
+            expected = ""
+            to_increment = ""
+    ordered = sum(math.log((c + 1) / denom) for c in phrase.values())
+    # unordered: sliding window of 2*window tokens, tested at index window-1
+    phrase_u = {t: 0 for t in pair_map}
+    single_u = {t: 1 for t in pair_map}
+    win = stream[: 2 * window + 1]
+    for i in range(min(window - 1, n)):
+        x = win[i] if i < len(win) else None
+        if x in pair_map and pair_map[x] in win:
+            phrase_u[x] += 1
+            single_u[x] += 1
+    for k in range(2 * window + 1, n):
+        win = win[1:] + [stream[k]]
+        x = win[window - 1]
+        if x in pair_map and pair_map[x] in win:
+            phrase_u[x] += 1
+            single_u[x] += 1
+    unordered = 0.0
+    for t, c in phrase_u.items():
+        unordered += math.log((c if c else single_u[t]) / denom)
+    return (
+        lambda_t * independent + lambda_o * ordered + lambda_u * unordered
+    )
 
 
 class LtrFeatureExtractor:
@@ -160,29 +276,70 @@ class LtrFeatureExtractor:
                     pmi += math.log(df12 * self.N / (gdf(t1) * gdf(t2)))
         pmi = pmi / npairs if npairs else 0.0
 
-        ordered = unordered = 0.0
+        # window pair features + SDM over the reconstructed token stream
+        # (all positional; emit 0 on a non-positional index)
+        gaps = (6, 8, 10)
+        seq_scores = {g: (0.0, 0.0) for g in gaps}
+        allp_ordered = allp_unordered = 0.0
+        sdm = 0.0
         if self._has_positions:
             posmap = self._doc_positions(docid)
             if posmap is None:
                 self._has_positions = False
             else:
-                for t1, t2 in zip(qtoks, qtoks[1:]):
-                    p1 = posmap.get(t1, [])
-                    p2 = set(posmap.get(t2, []))
-                    if not p1 or not p2:
-                        continue
-                    ordered += sum(1 for p in p1 if p + 1 in p2)
-                    unordered += sum(
-                        1
-                        for p in p1
-                        for d in range(-self.window, self.window + 1)
-                        if d != 0 and p + d in p2
+                stream = _stream_from_posmap(posmap)
+                # sequential (adjacent) query bigrams
+                seq_fwd: dict[str, set] = {}
+                seq_bwd: dict[str, set] = {}
+                for a, b2 in zip(qtoks, qtoks[1:]):
+                    seq_fwd.setdefault(a, set()).add(b2)
+                    seq_bwd.setdefault(b2, set()).add(a)
+                if seq_fwd:
+                    oc = _count_pairs(stream, seq_fwd, None, gaps)
+                    uc = _count_pairs(stream, seq_fwd, seq_bwd, gaps)
+                    for g in gaps:
+                        seq_scores[g] = (
+                            float(sum(oc[g].get(x, 0) for x in seq_fwd)),
+                            float(sum(uc[g].get(x, 0) for x in seq_fwd)),
+                        )
+                # ALL query-token pairs (OrderedQueryPairs /
+                # UnorderedQueryPairs, gap 8)
+                all_fwd: dict[str, set] = {}
+                all_bwd: dict[str, set] = {}
+                for i2 in range(len(qtoks) - 1):
+                    for j2 in range(i2 + 1, len(qtoks)):
+                        all_fwd.setdefault(qtoks[i2], set()).add(qtoks[j2])
+                        all_bwd.setdefault(qtoks[j2], set()).add(qtoks[i2])
+                if all_fwd:
+                    oc = _count_pairs(stream, all_fwd, None, (self.window,))
+                    uc = _count_pairs(stream, all_fwd, all_bwd, (self.window,))
+                    allp_ordered = float(
+                        sum(oc[self.window].get(x, 0) for x in all_fwd)
                     )
+                    allp_unordered = float(
+                        sum(uc[self.window].get(x, 0) for x in all_fwd)
+                    )
+                sdm = float(_sdm_feature(stream, qtoks))
+
+        # tweet-family counts from the indexed vocabulary (TweetAnalyzer
+        # preserves #hashtags and URLs; 0 on non-tweet corpora)
+        hashtag_count = float(
+            sum(v for t, v in dv.items() if t.startswith("#"))
+        )
+        link_count = float(
+            sum(v for t, v in dv.items() if t.startswith("http"))
+        )
 
         return [
             float(dl), float(len(qtoks)), float(len(matching)),
-            float(len(dv)), sum_tf, float(bm25), float(tfidf), avg_idf,
-            avg_ictf, scq, sc, ordered, unordered, pmi,
+            float(len(dv)), sum_tf, sum_tf, sum_tf,
+            float(bm25), float(tfidf), avg_idf, avg_ictf, scq, sc,
+            seq_scores[8][0], seq_scores[8][1],
+            seq_scores[6][0], seq_scores[6][1],
+            seq_scores[10][0], seq_scores[10][1],
+            allp_ordered, allp_unordered,
+            sdm, pmi,
+            hashtag_count, link_count,
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -195,13 +352,27 @@ class LtrFeatureExtractor:
         if len(keep) < len(rows):  # docs absent from the index are skipped
             batch = batch.take(pa.array(keep))
             rows = [rows[i] for i in keep]
-        arr = np.asarray(rows, dtype=np.float64).reshape(len(rows), len(FEATURE_NAMES))
+        n_computed = len(FEATURE_NAMES) - len(_PASSTHROUGH)
+        arr = np.asarray(rows, dtype=np.float64).reshape(len(rows), n_computed)
         cols = [batch["qid"], batch["doc_id"]]
         names = ["qid", "doc_id"]
         if "label" in batch.column_names:  # qrels grade passthrough
             cols.append(batch["label"])
             names.append("label")
-        cols += [pa.array(arr[:, i]) for i in range(len(FEATURE_NAMES))]
+        cols += [pa.array(arr[:, i]) for i in range(n_computed)]
+        # tweet metadata passthrough features (0 when the column is absent)
+        for name in FEATURE_NAMES[n_computed:]:
+            if name in batch.column_names:
+                cols.append(
+                    pa.array(
+                        np.asarray(
+                            batch[name].to_numpy(zero_copy_only=False),
+                            dtype=np.float64,
+                        )
+                    )
+                )
+            else:
+                cols.append(pa.array(np.zeros(batch.num_rows)))
         return pa.Table.from_arrays(cols, names=names + FEATURE_NAMES)
 
 

@@ -306,6 +306,18 @@ def ann_lsh_topk(sf_dir: str):
     )
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF coarse-quantizer ANN (deterministic seeded k-means; probes 6 of
+    16 cells — the scale path between brute force and SRP-LSH)."""
+    return A.ivf_topk(
+        _embeddings(sf_dir, ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=ANN_K,
+        nlist=16,
+        nprobe=6,
+    )
+
+
 def embedding_near_dup(sf_dir: str):
     """Near-duplicate vector pairs over the embeddings table AUGMENTED with
     planted exact duplicates (every vec_id % 10 == 0 vector re-appears as

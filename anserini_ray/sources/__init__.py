@@ -16,6 +16,9 @@ from .topics import (
     read_tsv_string_topics,
     read_tsv_topics,
 )
+from .car_collection import parse_car_paragraphs, read_car_collection
+from .covid_collections import covid_facets, parse_covid_metadata, read_covid_collection
+from .html_collection import parse_html_archive, read_html_collection
 from .qrels import Qrels, parse_qrels_lines, read_qrels
 from .trec_collection import read_trec_collection
 from .web_collections import (
@@ -36,6 +39,9 @@ __all__ = [
     "read_tsv_topics", "read_tsv_string_topics", "read_trec_topics",
     "read_microblog_topics",
     "Qrels", "parse_qrels_lines", "read_qrels",
+    "read_html_collection", "parse_html_archive",
+    "read_car_collection", "parse_car_paragraphs",
+    "read_covid_collection", "parse_covid_metadata", "covid_facets",
     "read_trecweb_collection", "read_clean_trec_collection",
     "read_clueweb_collection", "read_wapo_collection", "read_nyt_collection",
     "read_wikipedia_collection",

@@ -356,3 +356,113 @@ def fake_words_topk(
             "score": pa.array(out_s, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scalable mid-ground between brute force and
+# SRP-LSH (ROADMAP item 9): a coarse k-means quantizer trained on a
+# deterministic sample partitions vectors into nlist cells; queries probe
+# only their nprobe nearest cells and rerank those candidates exactly.
+# Train: driver-side seeded Lloyd iterations over a bounded sample (the
+# classic IVF recipe, e.g. FAISS IndexIVFFlat). Assign + candidate emit are
+# vectorized map_batches; centroids broadcast once via ray.put.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    ds,
+    nlist: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 1234,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Seeded Lloyd k-means over a deterministic sample (lowest ids —
+    reproducible across runs/cluster sizes, unlike random task order).
+    Returns (nlist, dim) L2-normalized centroids."""
+    import pyarrow.compute as _pc
+
+    sample = ds.sort(id_col).limit(sample_size).take_all()
+    m = _normalize(
+        np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    )
+    rng = np.random.default_rng(seed)
+    nlist = min(nlist, len(m))
+    cent = m[rng.choice(len(m), size=nlist, replace=False)]
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    query_vectors: np.ndarray,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+):
+    """Approximate cosine top-k via IVF cells: each batch scores only the
+    vectors whose nearest cell is among a query's nprobe probed cells —
+    at scale the scan cost drops by ~nlist/nprobe vs brute force while the
+    per-batch work stays one matmul + masked gather."""
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist=nlist, vec_col=vec_col,
+                                        id_col=id_col)
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq,nprobe)
+    state = ray.put((q, centroids, probes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qm, cent, prb = ray.get(state)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy()
+        cell = np.argmax(m @ cent.T, axis=1)  # (batch,)
+        hit = np.zeros((len(ids), qm.shape[0]), dtype=bool)
+        for qi in range(qm.shape[0]):
+            hit[:, qi] = np.isin(cell, prb[qi])
+        sims = m @ qm.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            rows = np.flatnonzero(hit[:, qi])
+            kk = min(k, rows.size)
+            if kk and rows.size > kk:  # per-batch partial top-k only
+                rows = rows[np.argpartition(-sims[rows, qi], kk - 1)[:kk]]
+            for r in rows:
+                out_q.append(qi)
+                out_id.append(int(ids[r]))
+                out_s.append(float(sims[r, qi]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    out_rows = []
+    for qi in range(q.shape[0]):
+        cands = sorted(
+            ((r[id_col], r["cosine"]) for r in partials if r["query_idx"] == qi),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for rank, (vid, c) in enumerate(cands[:k]):
+            out_rows.append((qi, rank + 1, vid, c))
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            id_col: pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cosine": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
