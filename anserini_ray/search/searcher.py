@@ -41,11 +41,13 @@ from .ties import adjust_score_ties, format_trec_run
 DEFAULT_K = 1000
 
 
-def _merge_ranked(per_segment: list[list[tuple[str, float]]], k: int):
+def _merge_ranked(per_segment: list[list[tuple[str, float]]], k: int,
+                  key=None):
     """k-way merge of per-segment (docid, score) lists by
-    (score desc, docid asc)."""
+    (score desc, docid asc) — or a custom docid tie key (tweet-id DESC)."""
+    key = key or (lambda d: d)
     allhits = [h for seg in per_segment for h in seg]
-    allhits.sort(key=lambda h: (-h[1], h[0]))
+    allhits.sort(key=lambda h: (-h[1], key(h[0])))
     return allhits[:k]
 
 
@@ -61,6 +63,7 @@ class LocalSearcher:
         prune: bool = False,
         similarity: str = "bm25",
         sim_params: dict | None = None,
+        tie_break: str = "docid",
     ):
         self.manifest = IndexManifest.read(index_dir)
         if segment_ids is None:
@@ -82,6 +85,21 @@ class LocalSearcher:
             )
         self.analyzer = make_analyzer(analyzer_config)
         self.prune = prune and similarity == "bm25"  # bounds are BM25-only
+        # score-tie ordering: "docid" (docid string ASC —
+        # SearchCollection.BREAK_SCORE_TIES_BY_DOCID) or "tweetid"
+        # (numeric tweet id DESC — BREAK_SCORE_TIES_BY_TWEETID,
+        # SearchCollection.java:119-124; newest tweet first)
+        if tie_break not in ("docid", "tweetid"):
+            raise ValueError(f"tie_break must be docid|tweetid: {tie_break!r}")
+        self.tie_break = tie_break
+
+    def _tie_key(self, docid: str):
+        if self.tie_break == "tweetid":
+            try:
+                return -int(docid.split(":", 1)[0])
+            except ValueError:
+                return 0
+        return docid
 
     # ---------------------------------------------------------------- query
     def _clauses(self, query_text: str) -> list[tuple[str, int]]:
@@ -243,7 +261,7 @@ class LocalSearcher:
         return self._rank(reader, cand, acc2, k)
 
     def _rank(self, reader, cand, scores, k):
-        """Order candidates by (score desc, docid-string asc), take k."""
+        """Order candidates by (score desc, docid tie key), take k."""
         if cand.size > k:
             part = np.argpartition(-scores, k - 1)
             # include the whole tie group at the boundary
@@ -251,7 +269,10 @@ class LocalSearcher:
             keep = scores >= kth_score
             cand, scores = cand[keep], scores[keep]
         docids = reader.doc_id_strings(cand)
-        order = sorted(range(cand.size), key=lambda i: (-scores[i], docids[i]))
+        order = sorted(
+            range(cand.size),
+            key=lambda i: (-scores[i], self._tie_key(docids[i])),
+        )
         return [(docids[i], float(scores[i])) for i in order[:k]]
 
     def search(
@@ -275,7 +296,7 @@ class LocalSearcher:
                 ]
             else:
                 per_seg = [fn(r, clauses, k) for r in self.readers]
-        hits = _merge_ranked(per_seg, k)
+        hits = _merge_ranked(per_seg, k, key=self._tie_key)
         docids = [h[0] for h in hits]
         scores = np.array([h[1] for h in hits], dtype=np.float32)
         if adjust_ties:
@@ -298,6 +319,37 @@ class LocalSearcher:
         if adjust_ties:
             scores = adjust_score_ties(scores)
         return docids, scores
+
+    def document_by_field(self, field: str, value) -> dict | None:
+        """First document whose stored FIELD equals value — reference
+        `IndexReaderUtils.documentByField` (IndexReaderUtils.java:423-440:
+        TermQuery top-1; null on no hit). Fields are the docmap columns
+        (conv_id, turn_idx, dl, ts); returns the doc record dict or None."""
+        for r in self.readers:
+            if field == "conv_id":
+                col = r._conv_id.to_pylist()
+                matches = [i for i, v in enumerate(col) if v == value]
+            elif field == "turn_idx":
+                matches = np.flatnonzero(r._turn_idx == value).tolist()
+            elif field == "dl":
+                matches = np.flatnonzero(r.dl_raw == value).tolist()
+            elif field == "ts" and r.ts is not None:
+                matches = np.flatnonzero(r.ts == value).tolist()
+            else:
+                matches = []
+            if matches:
+                i = matches[0]
+                docid = r.doc_id_strings(np.array([i]))[0]
+                out = {
+                    "doc_id": docid,
+                    "conv_id": r._conv_id[i].as_py(),
+                    "turn_idx": int(r._turn_idx[i]),
+                    "dl": int(r.dl_raw[i]),
+                }
+                if r.ts is not None:
+                    out["ts"] = int(r.ts[i])
+                return out
+        return None
 
     # ------------------------------------------------------------- RM3 PRF
     def doc_vector(self, docid: str) -> dict[str, int]:
@@ -1064,6 +1116,7 @@ class Searcher:
         prune: bool = False,
         similarity: str = "bm25",
         sim_params: dict | None = None,
+        tie_break: str = "docid",
     ):
         self.manifest = IndexManifest.read(index_dir)
         seg_ids = [s["segment_id"] for s in self.manifest.segments]
