@@ -16,9 +16,7 @@ def dump_docids_sorted(index_dir: str) -> pa.Table:
     s = LocalSearcher(index_dir)
     ids: list[str] = []
     for r in s.readers:
-        import numpy as np
-
-        ids.extend(r.doc_id_strings(np.arange(r.doc_count)))
+        ids.extend(r.doc_id_strings(r.all_local_ords()))
     ids.sort()
     return pa.table({"doc_id": ids})
 
@@ -33,8 +31,7 @@ def dump_doc_lengths(index_dir: str) -> pa.Table:
     s = LocalSearcher(index_dir)
     out_id, out_dl, out_lossy = [], [], []
     for r in s.readers:
-        ords = np.arange(r.doc_count)
-        out_id.extend(r.doc_id_strings(ords))
+        out_id.extend(r.doc_id_strings(r.all_local_ords()))
         out_dl.extend(r.dl_raw.tolist())
         out_lossy.extend(r.dl_lucene.astype(int).tolist())
     return pa.table(

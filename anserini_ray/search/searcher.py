@@ -115,9 +115,10 @@ class LocalSearcher:
         self, reader: SegmentReader, clauses, k: int, ts_range: tuple | None = None
     ) -> list[tuple[str, float]]:
         N = self.params.doc_count
-        dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
-        acc = np.zeros(reader.doc_count, dtype=np.float32)
-        touched = np.zeros(reader.doc_count, dtype=bool)
+        dl = (reader.score_dl_lucene if self.mode == "lucene"
+              else reader.score_dl_accurate)
+        acc = np.zeros(reader.local_span, dtype=np.float32)
+        touched = np.zeros(reader.local_span, dtype=bool)
         bm25 = self.similarity == "bm25"
         for term, cnt in clauses:
             post = reader.postings(term)
@@ -139,13 +140,13 @@ class LocalSearcher:
             touched[ords] = True
         cand = np.flatnonzero(touched)
         if ts_range is not None and cand.size:
-            if reader.ts is None:
+            if reader.score_ts is None:
                 raise ValueError(
                     "index docmap has no ts column — build from input that "
                     "includes ts to use ts_range filters"
                 )
             lo, hi = ts_range
-            tsv = reader.ts[cand]
+            tsv = reader.score_ts[cand]
             cand = cand[(tsv >= lo) & (tsv <= hi)]
         if cand.size == 0:
             return []
@@ -164,7 +165,8 @@ class LocalSearcher:
         list cannot reach the top-k by the upper-bound argument."""
         N = self.params.doc_count
         params = self.params
-        dl = reader.dl_lucene if self.mode == "lucene" else reader.dl_accurate
+        dl = (reader.score_dl_lucene if self.mode == "lucene"
+              else reader.score_dl_accurate)
         info = []
         for term, cnt in clauses:
             if not reader.has_term(term):
@@ -190,8 +192,8 @@ class LocalSearcher:
         # cumulative tail UB >= smallest... simplest exact choice: essential
         # = the ceil(len/2) highest-UB terms, then verify via bound check.
         by_ub = sorted(info, key=lambda x: -x[2])
-        acc = np.zeros(reader.doc_count, dtype=np.float32)
-        touched = np.zeros(reader.doc_count, dtype=bool)
+        acc = np.zeros(reader.local_span, dtype=np.float32)
+        touched = np.zeros(reader.local_span, dtype=bool)
         n_ess = max(1, len(by_ub) - _count_prunable(by_ub, k))
         essential, rest = by_ub[:n_ess], by_ub[n_ess:]
         term_data: dict[str, tuple] = {}
@@ -224,7 +226,7 @@ class LocalSearcher:
                 # decode only blocks whose ord range contains a candidate
                 lasts = np.empty(bf.size, dtype=np.int64)
                 lasts[:-1] = bf[1:] - 1
-                lasts[-1] = reader.doc_count - 1
+                lasts[-1] = reader.local_span - 1
                 chosen = np.flatnonzero(
                     _blocks_with_candidates(bf, lasts, cand)
                 )
@@ -338,12 +340,13 @@ class LocalSearcher:
             else:
                 matches = []
             if matches:
-                i = matches[0]
-                docid = r.doc_id_strings(np.array([i]))[0]
+                i = matches[0]  # dense docmap row
+                conv = r._conv_id[i].as_py()
+                turn = int(r._turn_idx[i])
                 out = {
-                    "doc_id": docid,
-                    "conv_id": r._conv_id[i].as_py(),
-                    "turn_idx": int(r._turn_idx[i]),
+                    "doc_id": f"{conv}:{turn}",
+                    "conv_id": conv,
+                    "turn_idx": turn,
                     "dl": int(r.dl_raw[i]),
                 }
                 if r.ts is not None:
@@ -490,7 +493,8 @@ class LocalSearcher:
                 per_seg.append([])
                 continue
             m = np.unique(cur >> SHIFT)
-            dl = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
+            dl = (r.score_dl_lucene if self.mode == "lucene"
+                  else r.score_dl_accurate)
             acc = np.zeros(m.size, dtype=np.float32)
             counts: dict[str, int] = {}
             for t in terms:
@@ -705,7 +709,8 @@ class LocalSearcher:
             j = rng.randrange(n_avail)
             si = int(np.searchsorted(cum, j, side="right"))
             local = j - (int(cum[si - 1]) if si else 0)
-            pool.add(self.readers[si].base_ord + local)
+            r_ = self.readers[si]
+            pool.add(r_.base_ord + int(r_._raw_local[local]))
 
         # small inverted list over the pool
         inv: dict[str, set[int]] = {}
@@ -857,9 +862,10 @@ class LocalSearcher:
             counts[t] = counts.get(t, 0) + 1
         per_seg = []
         for r, pc_map in zip(self.readers, seg_pair_counts):
-            dl = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
-            acc = np.zeros(r.doc_count, dtype=np.float32)
-            touched = np.zeros(r.doc_count, dtype=bool)
+            dl = (r.score_dl_lucene if self.mode == "lucene"
+                  else r.score_dl_accurate)
+            acc = np.zeros(r.local_span, dtype=np.float32)
+            touched = np.zeros(r.local_span, dtype=bool)
             for t, cnt in counts.items():
                 post = r.postings(t)
                 gdf = r.global_df.get(t, 0)
@@ -1013,9 +1019,10 @@ class LocalSearcher:
         )
         per_seg = []
         for r in self.readers:
-            dlv = r.dl_lucene if self.mode == "lucene" else r.dl_accurate
-            acc = np.zeros(r.doc_count, dtype=np.float32)
-            touched = np.zeros(r.doc_count, dtype=bool)
+            dlv = (r.score_dl_lucene if self.mode == "lucene"
+                   else r.score_dl_accurate)
+            acc = np.zeros(r.local_span, dtype=np.float32)
+            touched = np.zeros(r.local_span, dtype=bool)
             for term, boost in weights:
                 post = r.postings(term)
                 if post is None:

@@ -87,21 +87,30 @@ class SegmentReader:
         self.doc_count = dm.num_rows
         # Raw local ordinals may have HOLES (streaming builds assign
         # doc_ord = input row position; dropped docs leave gaps). Postings
-        # store raw ordinals on disk; this reader presents a DENSE local
-        # space (docmap row index) to all callers — scoring accumulators,
-        # dl arrays and doc_id_strings index dense rows. _raw_local maps
-        # dense->raw; _dense_lookup maps raw->dense (None when hole-free:
-        # legacy sort-path builds, where raw == dense).
+        # store raw ordinals on disk and SCORING RUNS IN RAW SPACE — per-doc
+        # scoring arrays (score_dl_*, score_ts) are scattered once into raw-
+        # indexed buffers of size local_span (= max raw ordinal + 1, bounded
+        # by 1<<seg_shift), so the postings-decode hot path never remaps.
+        # Only the final top-k candidates convert raw -> dense docmap rows
+        # (doc_id_strings). On hole-free legacy indexes raw == dense and the
+        # scatter is the identity (no extra memory).
         self._raw_local = (
             dm["doc_ord"].to_numpy() - self.base_ord
             if self.doc_count
             else np.empty(0, dtype=np.int64)
         ).astype(np.int64)
-        if self.doc_count and (
-            self._raw_local[0] != 0
-            or self._raw_local[-1] != self.doc_count - 1
-        ):
-            lut = np.full(int(self._raw_local[-1]) + 1, -1, dtype=np.int64)
+        self._holes = bool(
+            self.doc_count
+            and (
+                self._raw_local[0] != 0
+                or self._raw_local[-1] != self.doc_count - 1
+            )
+        )
+        self.local_span = (
+            int(self._raw_local[-1]) + 1 if self.doc_count else 0
+        )
+        if self._holes:
+            lut = np.full(self.local_span, -1, dtype=np.int64)
             lut[self._raw_local] = np.arange(self.doc_count, dtype=np.int64)
             self._dense_lookup = lut
         else:
@@ -118,6 +127,18 @@ class SegmentReader:
         # norm modes: stock Lucene quantizes dl through SmallFloat byte4
         self.dl_lucene = quantize_lengths(self.dl_raw).astype(np.float32)
         self.dl_accurate = self.dl_raw.astype(np.float32)
+
+        def _scatter(dense_arr, dtype):
+            if not self._holes:
+                return dense_arr
+            out = np.zeros(self.local_span, dtype=dtype)
+            out[self._raw_local] = dense_arr
+            return out
+
+        # raw-space scoring views (identical objects when hole-free)
+        self.score_dl_lucene = _scatter(self.dl_lucene, np.float32)
+        self.score_dl_accurate = _scatter(self.dl_accurate, np.float32)
+        self.score_ts = _scatter(self.ts, np.int64) if self.ts is not None else None
 
         ts = pq.read_table(
             os.path.join(index_dir, "termstats", f"segment_id={segment_id}"),
@@ -177,17 +198,22 @@ class SegmentReader:
         self._decode_cache_postings += n
         return out
 
-    def _remap(self, raw_ords: np.ndarray) -> np.ndarray:
-        """Raw local ordinals -> dense docmap row indices (no-op when the
-        segment is hole-free)."""
+    def dense_of_raw(self, raw_ords: np.ndarray) -> np.ndarray:
+        """Raw local ordinals -> dense docmap row indices (identity when the
+        segment is hole-free). Used only on final candidates, never in the
+        decode hot path."""
         if self._dense_lookup is None:
             return raw_ords
         return self._dense_lookup[raw_ords]
 
+    def all_local_ords(self) -> np.ndarray:
+        """Every document's RAW local ordinal, in docmap (doc_ord) order."""
+        return self._raw_local
+
     def _decode_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         df = int(self._df[i])
         gaps = varint_decode(self._doc_blob[i].as_py(), df)
-        ords = self._remap(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
+        ords = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
         tfs = varint_decode(self._tf_blob[i].as_py(), df).astype(np.int32)
         return ords, tfs
 
@@ -201,7 +227,7 @@ class SegmentReader:
         lo, hi = r
         firsts, ns, mts, mds, rows_, lblk = [], [], [], [], [], []
         for i in range(lo, hi):
-            bf = self._remap(self._blk_first[i].values.to_numpy())
+            bf = self._blk_first[i].values.to_numpy()
             firsts.append(bf)
             ns.append(self._blk_n[i].values.to_numpy())
             mts.append(self._blk_max_tf[i].values.to_numpy())
@@ -239,11 +265,8 @@ class SegmentReader:
             n = int(bn[b])
             gaps = varint_decode(doc_blob[d_lo:d_hi], n)
             vals = np.cumsum(gaps, dtype=np.uint64)
-            # bf is DENSE (block_meta remaps); recover the raw first ordinal
-            # as the decode base, then remap the decoded raw ords to dense
-            raw_first = int(self._raw_local[int(bf[b])]) if self.doc_count else 0
-            vals = vals - gaps[0] + np.uint64(raw_first)
-            ords_parts.append(self._remap(vals.astype(np.int64)))
+            vals = vals - gaps[0] + np.uint64(bf[b])
+            ords_parts.append(vals.astype(np.int64))
             tf_parts.append(varint_decode(tf_blob[t_lo:t_hi], n).astype(np.int32))
         if not ords_parts:
             return np.empty(0, np.int64), np.empty(0, np.int32)
@@ -288,17 +311,19 @@ class SegmentReader:
         return ords, tfs, flat, offs
 
     def doc_id_strings(self, local_ords: np.ndarray) -> list[str]:
-        convs = self._conv_id.take(pa.array(local_ords)).to_pylist()
-        turns = self._turn_idx[local_ords]
+        """RAW local ordinals -> docid strings."""
+        rows = self.dense_of_raw(np.asarray(local_ords, dtype=np.int64))
+        convs = self._conv_id.take(pa.array(rows)).to_pylist()
+        turns = self._turn_idx[rows]
         return [f"{c}:{t}" for c, t in zip(convs, turns)]
 
     # ---------------------------------------------------- forward index
     def docid_to_local(self, docid: str) -> int | None:
-        """docid string -> local ordinal (lazy reverse map)."""
+        """docid string -> RAW local ordinal (lazy reverse map)."""
         if self._docid_to_local is None:
             convs = self._conv_id.to_pylist()
             self._docid_to_local = {
-                f"{c}:{t}": i
+                f"{c}:{t}": int(self._raw_local[i])
                 for i, (c, t) in enumerate(zip(convs, self._turn_idx))
             }
         return self._docid_to_local.get(docid)
@@ -325,8 +350,8 @@ class SegmentReader:
                 dv["tfs"].combine_chunks(),
             )
         ords, terms, tfs = self._docvecs
-        # docvecs store GLOBAL RAW ordinals; local_ord is dense
-        target = self.base_ord + int(self._raw_local[local_ord])
+        # docvecs store GLOBAL RAW ordinals; local_ord is raw
+        target = self.base_ord + int(local_ord)
         i = int(np.searchsorted(ords, target))
         if i >= ords.size or ords[i] != target:
             return {}
