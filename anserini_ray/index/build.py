@@ -550,7 +550,8 @@ def _empty_subblock_table() -> pa.Table:
     )
 
 
-def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None) -> dict[int, int]:
+def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None,
+                    term_counts: dict[int, int] | None = None) -> dict[int, int]:
     """Global df/cf per term + per-segment termstats sidecars from the skinny
     (segment_id, term, df, cf) rows. ONE sort-based groupby(term); the
     global stats are attached back via a broadcast map-side join (`ray.put`
@@ -615,8 +616,12 @@ def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None) -> d
     stats.write_parquet(
         os.path.join(index_dir, "termstats"), partition_cols=["segment_id"]
     )
+    if term_counts is not None:
+        # caller already knows per-segment run-row counts (streaming
+        # markers) — skip the extra counting pass
+        return term_counts
     # posting-run rows per segment (manifest metadata; narrow partial sums)
-    term_counts: dict[int, int] = {}
+    term_counts = {}
     for r in (
         skinny.select_columns(["segment_id"])
         .map_batches(

@@ -10,9 +10,10 @@ fuse into ONE streaming map_batches pass and nothing corpus-sized is ever
 held or shuffled.
 
 Dropped docs (whitespace-empty text, analyzer errors) leave HOLES in the
-ordinal space; `SegmentReader` remaps raw ordinals to dense docmap rows at
-postings-decode time so all query-side scoring stays dense (and on hole-free
-legacy indexes the remap is a no-op).
+ordinal space; `SegmentReader` scores directly in raw ordinal space
+(per-doc arrays scattered once into raw-indexed buffers at segment load —
+zero hot-path cost) and converts only final top-k candidates to dense
+docmap rows.
 
 Each *unit* (a run of consecutive row groups of one input file) is processed
 by one task that:
@@ -208,10 +209,15 @@ class UnitWorker:
             _write_part(part, os.path.join(self.index_dir, "postings"),
                         int(s), u["unit_id"])
 
-        # per-segment doc partials for the marker
+        # per-segment partials for the marker: doc count, dl sum, and the
+        # number of posting-run rows written (manifest metadata — saves a
+        # whole read-back pass at finalize time)
         seg_cnt = {int(s): int((segs == s).sum()) for s in uniq_segs}
         dls = tok["dl"].to_numpy()
         seg_sdl = {int(s): int(dls[segs == s].sum()) for s in uniq_segs}
+        seg_runs = {
+            int(s): int((sub_segs == s).sum()) for s in uniq_segs
+        }
         marker = {
             "fingerprint": self.fingerprint,
             "unit_id": u["unit_id"],
@@ -221,7 +227,10 @@ class UnitWorker:
             "errors": int(n_errors),
             "first": first,
             "last": last,
-            "segments": {str(k): [seg_cnt[k], seg_sdl[k]] for k in seg_cnt},
+            "segments": {
+                str(k): [seg_cnt[k], seg_sdl[k], seg_runs[k]]
+                for k in seg_cnt
+            },
         }
         mdir = os.path.join(self.index_dir, "units")
         os.makedirs(mdir, exist_ok=True)
@@ -360,20 +369,27 @@ def build_index_streaming(
             os.path.join(index_dir, "postings"),
             columns=["term", "df", "cf", "segment_id"],
         ).materialize()
-    term_counts = write_termstats(skinny, index_dir, config.shuffle_partitions)
-    _mark("termstats")
 
     seg_counts: dict[int, int] = {}
     seg_sum_dl: dict[int, int] = {}
+    term_counts: dict[int, int] = {}
     kept_total = 0
     err_total = 0
     for m in markers.values():
         kept_total += int(m["kept"])
         err_total += int(m["errors"])
-        for sid, (cnt, sdl) in m["segments"].items():
+        for sid, vals in m["segments"].items():
             sid = int(sid)
-            seg_counts[sid] = seg_counts.get(sid, 0) + int(cnt)
-            seg_sum_dl[sid] = seg_sum_dl.get(sid, 0) + int(sdl)
+            seg_counts[sid] = seg_counts.get(sid, 0) + int(vals[0])
+            seg_sum_dl[sid] = seg_sum_dl.get(sid, 0) + int(vals[1])
+            if len(vals) > 2:
+                term_counts[sid] = term_counts.get(sid, 0) + int(vals[2])
+
+    write_termstats(
+        skinny, index_dir, config.shuffle_partitions,
+        term_counts=term_counts or None,
+    )
+    _mark("termstats")
 
     doc_count = 0
     sum_dl = 0
