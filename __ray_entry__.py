@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": S.top_terms,
         "collection_stats": S.collection_stats,
         "bm25_topk_simple": S.bm25_topk_simple,
+        "qld_topk_simple": S.qld_topk_simple,
         # --- engine-internal (verified vs brute-force oracle in tests/) ---
         "bm25_topk_engine": _engine_run,
         "index_term_stats": _index_term_stats,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": S.top_terms_sql(),
         "collection_stats": S.collection_stats_sql(),
         "bm25_topk_simple": S.bm25_topk_simple_sql(),
+        "qld_topk_simple": S.qld_topk_simple_sql(),
         "exact_dedup": TD.EXACT_DEDUP_SQL,
         "quality_stats": TD.QUALITY_STATS_SQL,
         "token_counts": TD.TOKEN_COUNTS_SQL,

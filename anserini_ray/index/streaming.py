@@ -439,3 +439,170 @@ def build_index_streaming(
     )
     manifest.write(index_dir)
     return manifest
+
+
+def append_index_streaming(
+    new_paths: list[str],
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> IndexManifest:
+    """Incremental ingest: append new sorted Parquet transcript files to an
+    EXISTING streaming-built index without touching finished units.
+
+    New units continue the ordinal space where the previous build ended
+    (base = max(base + rows) over existing unit markers), so appending
+    corpus B to an index of corpus A yields ordinals — and therefore
+    search results — IDENTICAL to a one-shot build of A+B (units never
+    span files, so even the unit plan matches; verified bit-for-bit in
+    tests). New docs may extend the last partially-filled segment; their
+    partition files land beside the old ones under the same hive layout.
+    Global term stats and manifests are recomputed from the full on-disk
+    skinny read-back (stats are global, so this is unavoidable — but it is
+    the SKINNY columns only, never postings payloads).
+
+    The appended corpus must use the same analyzer/segmenting config as the
+    original build (checked against the manifest)."""
+    import time as _time
+
+    config = config or IndexConfig()
+    old = IndexManifest.read(index_dir)
+    from ..analysis.analyzer import make_analyzer
+    from .build import INDEX_FORMAT_VERSION
+
+    want_an = make_analyzer(config.analyzer).config_fingerprint()
+    if (
+        old.analyzer != want_an
+        or old.seg_shift != config.seg_shift
+        or old.block_size != config.block_size
+        or old.norm_mode != config.norm_mode
+    ):
+        raise ValueError(
+            "append config incompatible with the existing index "
+            f"(analyzer {old.analyzer!r} vs {want_an!r}, seg_shift "
+            f"{old.seg_shift} vs {config.seg_shift})"
+        )
+
+    stage_secs: dict[str, float] = {}
+    _t = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        stage_secs[stage] = round(now - _t, 3)
+        _t = now
+
+    old_markers = _load_markers(index_dir)
+    if not old_markers:
+        raise ValueError(
+            "append requires a streaming-built index (no unit markers found)"
+        )
+    base_start = max(m["base"] + m["rows"] for m in old_markers.values())
+    next_uid = max(old_markers) + 1
+
+    paths = sorted(new_paths)
+    fingerprint = input_fingerprint(paths, config.repr_for_fingerprint())
+    units, new_rows, columns = plan_units(paths)
+    for u in units:
+        u["unit_id"] += next_uid
+        u["base"] += base_start
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "termstats"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "manifests"), ignore_errors=True)
+    _mark("plan")
+
+    if units:
+        ds = ray.data.from_items(units, override_num_blocks=len(units))
+        ds.map_batches(
+            UnitWorker(index_dir, config, columns, fingerprint,
+                       verify_sorted=True),
+            batch_format="pyarrow",
+        ).materialize()
+    _mark("tokenize_encode_write")
+
+    markers = _load_markers(index_dir)
+    # verify ONLY the new units' boundaries among themselves (the appended
+    # corpus need not sort after the old one — ordinals are disjoint)
+    prev_last = None
+    for u in units:
+        m = markers[u["unit_id"]]
+        if not m["rows"] or m["first"] is None:
+            continue
+        first = (m["first"][0], m["first"][1])
+        if prev_last is not None and first <= prev_last:
+            raise NotSortedError(
+                f"appended unit boundary out of order: {first} after {prev_last}"
+            )
+        prev_last = (m["last"][0], m["last"][1])
+
+    skinny = ray.data.read_parquet(
+        os.path.join(index_dir, "postings"),
+        columns=["term", "df", "cf", "segment_id"],
+    ).materialize()
+
+    seg_counts: dict[int, int] = {}
+    seg_sum_dl: dict[int, int] = {}
+    term_counts: dict[int, int] = {}
+    kept_total = 0
+    err_total = 0
+    for m in markers.values():
+        kept_total += int(m["kept"])
+        err_total += int(m["errors"])
+        for sid, vals in m["segments"].items():
+            sid = int(sid)
+            seg_counts[sid] = seg_counts.get(sid, 0) + int(vals[0])
+            seg_sum_dl[sid] = seg_sum_dl.get(sid, 0) + int(vals[1])
+            if len(vals) > 2:
+                term_counts[sid] = term_counts.get(sid, 0) + int(vals[2])
+    write_termstats(
+        skinny, index_dir, config.shuffle_partitions,
+        term_counts=term_counts or None,
+    )
+    _mark("termstats")
+
+    doc_count = 0
+    sum_dl = 0
+    segments = []
+    for sid in sorted(seg_counts):
+        cnt, sdl = seg_counts[sid], seg_sum_dl[sid]
+        doc_count += cnt
+        sum_dl += sdl
+        sm = SegmentManifest(
+            segment_id=sid,
+            base_ord=sid << config.seg_shift,
+            doc_count=cnt,
+            sum_dl=sdl,
+            num_terms=term_counts.get(sid, 0),
+            fingerprint=fingerprint,
+        )
+        sm.write(index_dir)
+        segments.append(
+            {"segment_id": sid, "doc_count": cnt, "sum_dl": sdl,
+             "num_terms": term_counts.get(sid, 0)}
+        )
+    _mark("manifests")
+
+    total_input = int(old.counters.get("total_input", 0)) + new_rows
+    manifest = IndexManifest(
+        version=INDEX_FORMAT_VERSION,
+        analyzer=want_an,
+        norm_mode=config.norm_mode,
+        seg_shift=config.seg_shift,
+        block_size=config.block_size,
+        fingerprint=fingerprint,
+        doc_count=doc_count,
+        sum_total_tf=sum_dl,
+        counters={
+            "total_input": total_input,
+            "indexed": doc_count,
+            "empty": total_input - kept_total - err_total,
+            "skipped": 0,
+            "errors": err_total,
+            "appended_units": len(units),
+            "total_units": len(markers),
+            "stage_secs": stage_secs,
+        },
+        segments=segments,
+    )
+    manifest.write(index_dir)
+    return manifest

@@ -344,3 +344,135 @@ def bm25_topk_simple_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
   FROM ranked WHERE rank <= {k}
   ORDER BY qid, rank"""
     )
+
+
+# ------------------------------------------------- QL Dirichlet SQL mirror
+QLD_MU = 1000.0
+
+
+def qld_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
+    """Distributed batch QL-Dirichlet (float64, whitespace tokens, mu=1000) —
+    the SQL-checkable mirror of `similarities.QLDirichlet`:
+    per (term, doc) contribution = qtf * max(ln(1 + tf/(mu*p_c)) +
+    ln(mu/(dl+mu)), 0) with p_c = (cf+1)/(sum_total_tf+1), clamped per
+    term-doc BEFORE summation (the Lucene LMDirichlet clamp). Same physical
+    plan as bm25_topk_simple: broadcast clause table, per-batch partial
+    scoring, one (qid, doc_id) groupby."""
+    ds = exploded_terms(sf_dir).materialize()
+
+    per_doc = ds.groupby("doc_id").aggregate(Max("dl")).materialize()
+    n_docs = per_doc.count()
+    sum_dl = per_doc.sum("max(dl)")
+    clauses = _query_clauses(queries)
+    qterms = {t for _, t, _ in clauses}
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["term"], pa.array(list(qterms)))
+        sub = batch.filter(mask)
+        return pa.Table.from_arrays(
+            [sub["term"], sub["tf"]], names=["term", "tf"]
+        )
+
+    cf_rows = (
+        ds.map_batches(cf_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf"))
+        .take_all()
+    )
+    cf_map = {r["term"]: int(r["sum(tf)"]) for r in cf_rows}
+    clause_info = [
+        (qid, t, cnt, (cf_map.get(t, 0) + 1.0) / (sum_dl + 1.0))
+        for qid, t, cnt in clauses
+        if cf_map.get(t, 0) > 0
+    ]
+    broadcast = ray.put(clause_info)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        cinfo = ray.get(broadcast)
+        tfs = batch["tf"].to_numpy().astype(np.float64)
+        dls = batch["dl"].to_numpy().astype(np.float64)
+        dir_term = np.log(QLD_MU / (dls + QLD_MU))
+        term_arr = np.asarray(batch["term"].to_pylist(), dtype=object)
+        doc_arr = batch["doc_id"].to_pylist()
+        qids_out, docs_out, contribs = [], [], []
+        for qid, t, cnt, p_c in cinfo:
+            hit = np.flatnonzero(term_arr == t)
+            if hit.size == 0:
+                continue
+            s = np.log1p(tfs[hit] / (QLD_MU * p_c)) + dir_term[hit]
+            c = cnt * np.maximum(s, 0.0)
+            for i, h in enumerate(hit):
+                qids_out.append(qid)
+                docs_out.append(doc_arr[h])
+                contribs.append(float(c[i]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(qids_out, type=pa.int32()),
+                pa.array(docs_out, type=pa.string()),
+                pa.array(contribs, type=pa.float64()),
+            ],
+            names=["qid", "doc_id", "contrib"],
+        )
+
+    scored = (
+        ds.map_batches(score_partial, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Sum("contrib"))
+    )
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        scores = np.round(group["sum(contrib)"].to_numpy(), 4)
+        docs = group["doc_id"].to_pylist()
+        order = sorted(
+            range(len(docs)), key=lambda i: (-scores[i], docs[i])
+        )[:k]
+        return pa.Table.from_arrays(
+            [
+                group["qid"].take(pa.array(order)),
+                pa.array(list(range(1, len(order) + 1)), type=pa.int32()),
+                pa.array([docs[i] for i in order], type=pa.string()),
+                pa.array([float(scores[i]) for i in order], type=pa.float64()),
+            ],
+            names=["qid", "rank", "doc_id", "score"],
+        )
+
+    return (
+        scored.groupby("qid")
+        .map_groups(topk_group, batch_format="pyarrow")
+        .sort(["qid", "rank"])
+    )
+
+
+def qld_topk_simple_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
+    values = query_clauses_sql_values(queries)
+    return _with_transcripts(
+        _TOKS_CTE
+        + f""",
+  stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM dl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+  scores AS (
+    SELECT q.qid, tf.doc_id,
+           sum(q.cnt * greatest(
+             ln(1 + tf.tf / ({QLD_MU} * ((cf.cf + 1) / (s.c + 1))))
+             + ln({QLD_MU} / (dl.dl + {QLD_MU})), 0)
+           ) AS score
+    FROM q
+    JOIN tf ON q.term = tf.term
+    JOIN cf ON cf.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM scores
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )

@@ -1,0 +1,87 @@
+"""Incremental ingest: appending corpus B to an index of corpus A must
+produce the SAME index a one-shot build of A+B produces — identical
+ordinals, counters, and bit-identical search scores."""
+
+import os
+import shutil
+
+import pytest
+
+from anserini_ray.index import (
+    IndexConfig,
+    append_index_streaming,
+    build_index,
+)
+from anserini_ray.search.searcher import LocalSearcher
+from anserini_ray.sources import write_synthetic_corpus
+
+QUERIES = ["merge sort pipeline", "city bus running", "zq0007 schedule",
+           "actor task block"]
+
+
+@pytest.fixture(scope="module")
+def corpora(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("append_corpus"))
+    write_synthetic_corpus(d, 24000, seed=21, rows_per_file=6000)
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    return files[:2], files[2:]  # A = first half, B = second half
+
+
+def test_append_equals_oneshot(corpora, tmp_path_factory):
+    a_files, b_files = corpora
+    root = tmp_path_factory.mktemp("append_idx")
+    inc = str(root / "incremental")
+    ref = str(root / "oneshot")
+
+    cfg = IndexConfig(seg_shift=12, assume_sorted=True)
+    m1 = build_index(index_dir=inc, config=cfg, input_paths=a_files)
+    docs_a = m1.doc_count
+    m2 = append_index_streaming(b_files, inc, cfg)
+    m3 = build_index(
+        index_dir=ref,
+        config=IndexConfig(seg_shift=12, assume_sorted=True),
+        input_paths=a_files + b_files,
+    )
+    assert m2.doc_count == m3.doc_count > docs_a
+    assert m2.sum_total_tf == m3.sum_total_tf
+    assert m2.counters["total_input"] == m3.counters["total_input"] == 24000
+    assert m2.counters["empty"] == m3.counters["empty"]
+    assert m2.segments == m3.segments
+
+    s_inc = LocalSearcher(inc)
+    s_ref = LocalSearcher(ref)
+    for q in QUERIES:
+        di, si = s_inc.search(q, k=40)
+        dr, sr = s_ref.search(q, k=40)
+        assert di == dr
+        assert list(map(float, si)) == list(map(float, sr))  # bit-identical
+
+
+def test_append_config_mismatch_rejected(corpora, tmp_path):
+    a_files, b_files = corpora
+    idx = str(tmp_path / "idx")
+    build_index(
+        index_dir=idx,
+        config=IndexConfig(seg_shift=12, assume_sorted=True),
+        input_paths=a_files,
+    )
+    with pytest.raises(ValueError):
+        append_index_streaming(
+            b_files, idx, IndexConfig(seg_shift=13, assume_sorted=True)
+        )
+    with pytest.raises(ValueError):
+        append_index_streaming(
+            b_files, idx,
+            IndexConfig(seg_shift=12, analyzer={"stemmer": "none"}),
+        )
+
+
+def test_append_requires_streaming_index(corpora, tmp_path):
+    import ray.data
+
+    a_files, b_files = corpora
+    idx = str(tmp_path / "legacy")
+    ds = ray.data.read_parquet(a_files, columns=["conv_id", "turn_idx", "text"])
+    build_index(ds, idx, IndexConfig(seg_shift=12), input_files=a_files)
+    with pytest.raises(ValueError):
+        append_index_streaming(b_files, idx, IndexConfig(seg_shift=12))
