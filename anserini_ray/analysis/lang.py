@@ -1,7 +1,8 @@
 """Per-language analysis chains — the reference selects stock Lucene
 analyzers by the `-language` flag (`J/index/IndexCollection.java:739-773`,
 `J/search/SearchCollection.java:231-260`): zh→CJKAnalyzer, de→GermanAnalyzer,
-fr→FrenchAnalyzer, es→SpanishAnalyzer (ar/hi/bn remain unported hooks).
+fr→FrenchAnalyzer, es→SpanishAnalyzer, ar→ArabicAnalyzer, hi→HindiAnalyzer
+(bn remains an unported hook).
 
 Fidelity notes (the reference repo commits NO language-analyzer test
 fixtures, and no JVM exists in this sandbox to generate Lucene goldens, so
@@ -237,16 +238,18 @@ class LanguageAnalyzer:
     (analyze / analyze_with_positions / config_fingerprint)."""
 
     def __init__(self, language: str, stopwords=None):
-        if language not in ("de", "fr", "es"):
+        if language not in ("de", "fr", "es", "ar", "hi"):
             raise ValueError(
-                f"unsupported language {language!r} (zh|de|fr|es; "
-                "ar/hi/bn are unported hooks)"
+                f"unsupported language {language!r} (zh|de|fr|es|ar|hi; "
+                "bn is an unported hook)"
             )
         self.language = language
         defaults = {
             "de": GERMAN_STOP_WORDS,
             "fr": FRENCH_STOP_WORDS,
             "es": SPANISH_STOP_WORDS,
+            "ar": ARABIC_STOP_WORDS,
+            "hi": HINDI_STOP_WORDS,
         }
         self.stopwords = (
             frozenset(stopwords) if stopwords is not None else defaults[language]
@@ -255,7 +258,16 @@ class LanguageAnalyzer:
             "de": german_light_stem,
             "fr": french_light_stem,
             "es": spanish_light_stem,
+            "ar": arabic_light_stem,
+            "hi": hindi_light_stem,
         }[language]
+        # script-appropriate token runs (the Latin run regex cannot see
+        # Arabic/Devanagari letters; combining marks stay inside the token
+        # and are handled by normalization)
+        self._token_re = {
+            "ar": re.compile("[\u0600-\u06FF0-9A-Za-z]+"),
+            "hi": re.compile("[\u0900-\u097F0-9A-Za-z]+"),
+        }.get(language, _WORD_RUN)
         self._memo: dict[str, str | None] = {}
 
     def config_fingerprint(self) -> str:
@@ -272,11 +284,19 @@ class LanguageAnalyzer:
             tok = tok.replace("ß", "ss")  # GermanNormalizationFilter (approx)
         if not tok or tok in self.stopwords:
             return None
+        if self.language == "ar":
+            tok = arabic_normalize(tok)
+            if not tok or tok in self.stopwords:
+                return None
+        elif self.language == "hi":
+            tok = _HI_NUKTA.sub("", tok)
+            if not tok or tok in self.stopwords:
+                return None
         tok = self.stem(tok)
         return tok or None
 
     def _raw_tokens(self, text: str) -> list[str]:
-        return [m.group(0) for m in _WORD_RUN.finditer(text)]
+        return [m.group(0) for m in self._token_re.finditer(text)]
 
     def analyze(self, text: str) -> list[str]:
         memo = self._memo
@@ -308,3 +328,82 @@ def make_language_analyzer(language: str, stopwords=None):
             frozenset(stopwords) if stopwords is not None else CJK_STOP_WORDS
         )
     return LanguageAnalyzer(language, stopwords)
+
+
+# ------------------------------------------------------------- Arabic (ar)
+# Lucene ArabicAnalyzer chain: tokenize → lowercase → Arabic stop set →
+# ArabicNormalizationFilter → ArabicStemFilter (Larkey's light10).
+# Normalization: strip tatweel + harakat; hamza-alef forms → bare alef;
+# alef maksura → yeh; teh marbuta → heh. Stemmer: one definite-article
+# prefix strip + iterative light suffix strips.
+
+ARABIC_STOP_WORDS = frozenset(
+    """من في على و ان أن إن الى إلى عن مع هذا هذه ذلك تلك التي الذي الذين
+    هو هي هم كان كانت يكون لم لن لا ما اذا إذا او أو ثم بعد قبل عند عندما
+    كل بعض غير بين حتى كما لكن منذ قد لقد فى ايضا أيضا اي أي به بها له لها
+    لهم فيه فيها علي عليه عليها نحو امام أمام تحت فوق خلال دون حول حيث اذ
+    إذ منه منها هنا هناك انه أنه انها أنها""".split()
+)
+
+_AR_HARAKAT = re.compile("[ً-ْـ]")  # tanwin/harakat + tatweel
+_AR_FOLD = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ى": "ي", "ة": "ه"})
+
+_AR_PREFIXES = ["وال", "بال", "كال", "فال", "ال", "لل", "و"]
+_AR_SUFFIXES = ["ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي"]
+
+
+def arabic_normalize(word: str) -> str:
+    return _AR_HARAKAT.sub("", word).translate(_AR_FOLD)
+
+
+def arabic_light_stem(word: str) -> str:
+    """Larkey light10 as in Lucene's ArabicStemmer: strip ONE prefix (first
+    match in order, remainder must keep >= 2 chars; bare waw needs length
+    > 3), then strip each matching suffix in list order (remainder >= 2)."""
+    for p in _AR_PREFIXES:
+        if word.startswith(p):
+            if p == "و" and len(word) <= 3:
+                continue
+            if len(word) - len(p) >= 2:
+                word = word[len(p):]
+                break
+    for suf in _AR_SUFFIXES:
+        if word.endswith(suf) and len(word) - len(suf) >= 2:
+            word = word[: -len(suf)]
+    return word
+
+
+# -------------------------------------------------------------- Hindi (hi)
+# SIMPLIFIED port of Lucene's HindiAnalyzer: the IndicNormalizer /
+# HindiNormalizer composition steps are reduced to nukta removal; the
+# stemmer is the published Ramanathan-Rao light stemmer core as used by
+# Lucene's HindiStemmer (suffix strips by descending length). Marked
+# simplified (no reference fixtures exist to golden-verify).
+
+HINDI_STOP_WORDS = frozenset(
+    """का के की को में है हैं और से पर यह वह एक था थी थे हो ही भी तो ने
+    कि जो कर रहा रही रहे अपने उनके उसके इसके लिए साथ बाद तक किया गया करने
+    वाले हुआ हुई हुए नहीं कुछ अब जब तब या फिर बहुत सकता सकती सकते""".split()
+)
+
+_HI_NUKTA = re.compile("़")  # nukta
+_HI_SUFFIXES = [
+    "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां",
+    "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+    "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+    "ियों", "ियां",
+    "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+    "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं", "ुआं",
+    "कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+    "ता", "ाँ", "ां", "ों", "ें",
+    "ो", "े", "ू", "ु", "ी", "ि", "ा",
+]
+
+
+def hindi_light_stem(word: str) -> str:
+    if len(word) < 4:
+        return word
+    for suf in _HI_SUFFIXES:
+        if word.endswith(suf) and len(word) - len(suf) >= 2:
+            return word[: -len(suf)]
+    return word

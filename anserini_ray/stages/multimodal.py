@@ -36,15 +36,17 @@ def synthesize_media_table(n: int, seed: int = 42, payload_size: int = 4096) -> 
     """Deterministic fake media corpus (opaque bytes) for plumbing tests."""
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, size=payload_size, dtype=np.uint8).tobytes() for _ in range(n)]
-    types = [("image/png", "audio/wav")[i % 2] for i in range(n)]
-    metas = [
-        json.dumps(
-            {"w": 64 + (i % 8) * 32, "h": 64, "frames": 1}
-            if i % 2 == 0
-            else {"sr": 16000, "seconds": 1 + (i % 5)}
-        )
-        for i in range(n)
-    ]
+    types = [("image/png", "audio/wav", "video/mp4")[i % 3] for i in range(n)]
+
+    def _meta(i):
+        kind = i % 3
+        if kind == 0:
+            return {"w": 64 + (i % 8) * 32, "h": 64, "frames": 1}
+        if kind == 1:
+            return {"sr": 16000, "seconds": 1 + (i % 5)}
+        return {"w": 320, "h": 240, "frames": 30 * (1 + (i % 4)), "fps": 30}
+
+    metas = [json.dumps(_meta(i)) for i in range(n)]
     return pa.table(
         {
             "item_id": pa.array(range(n), type=pa.int64()),
@@ -114,3 +116,208 @@ def media_pipeline(media_ds, decoder: str = "fake", concurrency=(1, 8), batch_si
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 stage family: resize / frame-sample / window ops with the same
+# decode-stub convention ("none" raises, "fake" is deterministic) and REAL
+# Ray-side semantics: schemas, one->many fan-out, batch sizing, metadata
+# propagation. Exact media dedup is fully real (content digests need no
+# decoder).
+# ---------------------------------------------------------------------------
+
+
+class ImageResize:
+    """Actor-pool stage: decode -> resize -> re-encode. Fake decoder emits a
+    deterministic payload of exactly target_w*target_h bytes derived from
+    the source digest; meta JSON is updated with the new dimensions (real
+    plumbing: metadata propagation + output sizing)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 decoder: str = "fake"):
+        self.w = target_w
+        self.h = target_h
+        self.decoder = decoder
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.decoder != "fake":
+            raise NotImplementedError(
+                "real image resize requires an imaging library not present "
+                "in this environment; plug a decoder in here"
+            )
+        seed = hashlib.sha256(payload).digest()
+        reps = (self.w * self.h) // len(seed) + 1
+        return (seed * reps)[: self.w * self.h]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload, out_meta = [], []
+        for p, mt, meta in zip(
+            batch["payload"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            if not mt.startswith("image/"):
+                out_payload.append(p)  # pass-through for non-images
+                out_meta.append(meta)
+                continue
+            out_payload.append(self._resize(p))
+            m = json.loads(meta or "{}")
+            m["w"], m["h"] = self.w, self.h
+            out_meta.append(json.dumps(m))
+        return pa.Table.from_arrays(
+            [
+                batch["item_id"],
+                pa.array(out_payload, type=pa.large_binary()),
+                batch["media_type"],
+                pa.array(out_meta),
+            ],
+            names=["item_id", "payload", "media_type", "meta"],
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage with ONE->MANY fan-out: each video row emits one row
+    per sampled frame (item_id, frame_idx, payload, media_type="image/raw",
+    meta). Frame count comes from the meta JSON ("frames"); sampling takes
+    every `stride`-th frame up to `max_frames`. Fake decoder derives each
+    frame payload deterministically from (digest, frame_idx)."""
+
+    def __init__(self, stride: int = 10, max_frames: int = 16,
+                 decoder: str = "fake"):
+        self.stride = stride
+        self.max_frames = max_frames
+        self.decoder = decoder
+
+    def _frame(self, payload: bytes, idx: int) -> bytes:
+        if self.decoder != "fake":
+            raise NotImplementedError(
+                "real frame extraction requires a video library not present "
+                "in this environment; plug a decoder in here"
+            )
+        return hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, payloads, metas = [], [], [], []
+        for iid, p, mt, meta in zip(
+            batch["item_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            if not mt.startswith("video/"):
+                continue
+            n_frames = int(json.loads(meta or "{}").get("frames", 0))
+            taken = 0
+            for f in range(0, n_frames, self.stride):
+                if taken >= self.max_frames:
+                    break
+                ids.append(iid)
+                fidx.append(f)
+                payloads.append(self._frame(p, f))
+                metas.append(meta)
+                taken += 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(fidx, type=pa.int32()),
+                pa.array(payloads, type=pa.large_binary()),
+                pa.array(["image/raw"] * len(ids)),
+                pa.array(metas),
+            ],
+            names=["item_id", "frame_idx", "payload", "media_type", "meta"],
+        )
+
+
+class AudioWindow:
+    """Actor-pool stage: audio rows -> fixed-length analysis windows
+    (item_id, window_idx, start_s, payload). Window/hop come in seconds and
+    combine with the meta sample rate; fake decoder slices the raw payload
+    proportionally (real plumbing: window arithmetic + fan-out)."""
+
+    def __init__(self, window_s: float = 1.0, hop_s: float = 0.5,
+                 decoder: str = "fake"):
+        self.window_s = window_s
+        self.hop_s = hop_s
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder != "fake":
+            raise NotImplementedError(
+                "real audio decoding requires an audio library not present "
+                "in this environment; plug a decoder in here"
+            )
+        ids, widx, starts, payloads = [], [], [], []
+        for iid, p, mt, meta in zip(
+            batch["item_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            if not mt.startswith("audio/"):
+                continue
+            m = json.loads(meta or "{}")
+            seconds = float(m.get("seconds", 0.0))
+            if seconds <= 0:
+                continue
+            bytes_per_s = max(1, int(len(p) / seconds))
+            t = 0.0
+            i = 0
+            while t + self.window_s <= seconds + 1e-9:
+                lo = int(t * bytes_per_s)
+                hi = min(len(p), int((t + self.window_s) * bytes_per_s))
+                ids.append(iid)
+                widx.append(i)
+                starts.append(t)
+                payloads.append(p[lo:hi])
+                t += self.hop_s
+                i += 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(widx, type=pa.int32()),
+                pa.array(starts, type=pa.float64()),
+                pa.array(payloads, type=pa.large_binary()),
+            ],
+            names=["item_id", "window_idx", "start_s", "payload"],
+        )
+
+
+def media_exact_dedup(media_ds):
+    """Exact media dedup by content digest — fully REAL (no decoder needed):
+    sha256 per payload in map_batches, one groupby on the 64-bit digest
+    prefix, representative = min item_id. Payload bytes never shuffle."""
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hashes = [
+            int.from_bytes(hashlib.sha256(p).digest()[:8], "big") - (1 << 63)
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(hashes, type=pa.int64()), batch["item_id"]],
+            names=["digest", "item_id"],
+        )
+
+    agg = (
+        media_ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min("item_id"), Count())
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {
+                    "rep_item_id": pa.array([], type=pa.int64()),
+                    "dup_count": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.Table.from_arrays(
+            [batch["min(item_id)"], batch["count()"]],
+            names=["rep_item_id", "dup_count"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

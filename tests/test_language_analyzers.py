@@ -82,3 +82,47 @@ def test_language_index_end_to_end(ray_session, tmp_path):
 def test_unsupported_language_raises():
     with pytest.raises(ValueError):
         make_analyzer({"language": "xx"})
+
+
+def test_arabic_chain():
+    a = make_analyzer({"language": "ar"})
+    # definite-article strip + teh-marbuta suffix + hamza/alef fold
+    assert a.analyze("الكتاب") == ["كتاب"]
+    assert a.analyze("والمكتبة") == ["مكتب"]
+    assert a.analyze("أحمد") == ["احمد"]
+    # stopwords and harakat removal
+    assert a.analyze("في البيت") == ["بيت"]
+    assert a.analyze("كِتَاب") == ["كتاب"]  # diacritics stripped
+
+
+def test_hindi_chain():
+    a = make_analyzer({"language": "hi"})
+    assert a.analyze("लड़के") == ["लडक"]      # nukta + matra suffix
+    assert a.analyze("किताबें") == ["किताब"]  # plural strip
+    assert a.analyze("घर में") == ["घर"]      # stopword dropped
+
+
+def test_arabic_index_end_to_end(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+
+    rows = pa.table(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "text": ["الكتاب في المكتبة", "البيت الكبير"],
+        }
+    )
+    idx = str(tmp_path / "ar_idx")
+    build_index(
+        ray.data.from_arrow(rows),
+        idx,
+        IndexConfig(seg_shift=4, analyzer={"language": "ar"}),
+        input_files=[],
+    )
+    s = LocalSearcher(idx, analyzer_config={"language": "ar"})
+    docids, _ = s.search("كتاب", k=10)  # unprefixed query form matches
+    assert docids == ["c1:0"]
