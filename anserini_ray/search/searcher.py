@@ -790,12 +790,24 @@ class LocalSearcher:
         adjust_ties: bool = True,
     ):
         """Sequential Dependence Model (reference `SdmQueryGenerator.java:
-        56-88`: 0.85*terms + 0.1*ordered-window(1) + 0.05*unordered-window(8)
-        over span queries). Structural analog over positional postings:
-        bigram clauses score as BM25 with tf = window-match count and df =
-        number of docs the window matches (computed exactly from positions);
-        Lucene's span sloppyFreq weighting is NOT replicated bit-for-bit —
-        this operator is verified against its own scalar oracle. Requires a
+        56-88`): 0.85*terms + 0.1*SpanNear([t1,t2], slop=1, ordered) +
+        0.05*SpanNear([t1,t2], slop=8, unordered) per adjacent pair, each
+        span clause scored as BM25 with Lucene's sloppy frequencies:
+
+        - ordered (NearSpansOrdered): for each t1 occurrence i, j = the
+          first t2 position >= i+1 (the lag pointer never rewinds); match
+          width = j-i-1; if width <= slop(1): freq += 1/(1+width).
+        - unordered (NearSpansUnordered): two-pointer advance-the-minimum
+          enumeration over both position lists; a state (i, j) matches when
+          |i-j| - 1 <= slop(8) and contributes 1/(1+|i-j|) (width() is
+          start-to-start in Lucene).
+        - clause weight = boost * (idf(t1)+idf(t2)) (SpanWeight sums the
+          idfs of all terms under the span), freq accumulated in float32.
+
+        This replicates SpanNearQuery.sloppyFreq semantics (round-1 shipped
+        an integer window-count analog); parity is against an independent
+        per-doc scalar oracle implementing the same published algorithm
+        (no JVM exists here to produce Lucene goldens). Requires a
         store_positions=True index."""
         terms = self.analyzer.analyze(query_text)
         if len(terms) < 2:
@@ -803,57 +815,78 @@ class LocalSearcher:
         N = self.params.doc_count
         pairs = list(zip(terms, terms[1:]))
 
-        # phase 1: per-segment window match counts per doc — vectorized via
-        # (doc<<32 | position) keys: each window offset is one sorted
-        # intersect; per-doc counts via unique on the matched docs
         SHIFT = np.int64(32)
-        seg_pair_counts: list[dict] = []  # per reader: {pair: (docs, ord_c, unord_c)}
+        ORD_SLOP = 1
+        UNORD_SLOP = 8
+        seg_pair_counts: list[dict] = []  # per reader: {pair: (docs, fo, fu)}
         for r in self.readers:
             pc_map = {}
-            for t1, t2 in pairs:
+            for pair in dict.fromkeys(pairs):
+                t1, t2 = pair
                 p1 = r.positions(t1)
                 p2 = r.positions(t2)
                 if p1 is None or p2 is None:
                     continue
-                o1, tf1, f1, _ = p1
-                o2, tf2, f2, _ = p2
+                o1, tf1, f1, off1 = p1
+                o2, tf2, f2, off2 = p2
                 k1 = (np.repeat(o1, tf1) << SHIFT) | f1.astype(np.int64)
                 k2 = (np.repeat(o2, tf2) << SHIFT) | f2.astype(np.int64)
 
-                def doc_counts(matched):
-                    docs, cnt = np.unique(matched >> SHIFT, return_counts=True)
-                    return docs, cnt
+                # ordered, fully vectorized: first t2-key >= i+1 per t1-key
+                idx = np.searchsorted(k2, k1 + 1, side="left")
+                valid = idx < k2.size
+                j_key = k2[np.minimum(idx, k2.size - 1)]
+                same_doc = (j_key >> SHIFT) == (k1 >> SHIFT)
+                width = j_key - (k1 + 1)  # position gap when same doc
+                m = valid & same_doc & (width <= ORD_SLOP)
+                freq_o: dict[int, np.float32] = {}
+                if m.any():
+                    docs_m = (k1[m] >> SHIFT).astype(np.int64)
+                    fac = (1.0 / (1.0 + width[m])).astype(np.float32)
+                    for d, f in zip(docs_m, fac):  # position order per doc
+                        freq_o[int(d)] = np.float32(
+                            freq_o.get(int(d), np.float32(0)) + f
+                        )
 
-                om = np.intersect1d(k1 + 1, k2, assume_unique=True)
-                um_parts = [
-                    np.intersect1d(k1 + d, k2, assume_unique=True)
-                    for d in range(-(window - 1), window)
-                    if d != 0
-                ]
-                um = (
-                    np.concatenate(um_parts)
-                    if um_parts
-                    else np.empty(0, dtype=np.int64)
+                # unordered: two-pointer advance-min per common doc
+                freq_u: dict[int, np.float32] = {}
+                common, i1, i2 = np.intersect1d(
+                    o1, o2, assume_unique=True, return_indices=True
                 )
-                if om.size == 0 and um.size == 0:
-                    continue
-                od, oc = doc_counts(om)
-                ud, uc = doc_counts(um)
-                docs = np.union1d(od, ud)
-                ord_c = np.zeros(docs.size, dtype=np.int32)
-                unord_c = np.zeros(docs.size, dtype=np.int32)
-                ord_c[np.searchsorted(docs, od)] = oc
-                unord_c[np.searchsorted(docs, ud)] = uc
-                pc_map[(t1, t2)] = (docs, ord_c, unord_c)
-            seg_pair_counts.append(pc_map)
+                for d, a, b in zip(common, i1, i2):
+                    pl1 = f1[off1[a] : off1[a + 1]]
+                    pl2 = f2[off2[b] : off2[b + 1]]
+                    x = y = 0
+                    acc_f = np.float32(0)
+                    while True:
+                        i, j = int(pl1[x]), int(pl2[y])
+                        dd = abs(i - j)
+                        if dd - 1 <= UNORD_SLOP:
+                            acc_f = np.float32(acc_f + np.float32(1.0 / (1 + dd)))
+                        if i <= j:  # tie: advance subSpans[0]
+                            x += 1
+                            if x >= pl1.size:
+                                break
+                        else:
+                            y += 1
+                            if y >= pl2.size:
+                                break
+                    if acc_f > 0:
+                        freq_u[int(d)] = acc_f
 
-        # global window dfs
-        pair_df_o: dict[tuple, int] = {}
-        pair_df_u: dict[tuple, int] = {}
-        for pc_map in seg_pair_counts:
-            for pair, (common, oc, uc) in pc_map.items():
-                pair_df_o[pair] = pair_df_o.get(pair, 0) + int((oc > 0).sum())
-                pair_df_u[pair] = pair_df_u.get(pair, 0) + int((uc > 0).sum())
+                if not freq_o and not freq_u:
+                    continue
+                docs = np.array(
+                    sorted(set(freq_o) | set(freq_u)), dtype=np.int64
+                )
+                fo = np.array(
+                    [freq_o.get(int(d), 0.0) for d in docs], dtype=np.float32
+                )
+                fu = np.array(
+                    [freq_u.get(int(d), 0.0) for d in docs], dtype=np.float32
+                )
+                pc_map[pair] = (docs, fo, fu)
+            seg_pair_counts.append(pc_map)
 
         # phase 2: score
         w_t, w_o, w_u = F(term_weight), F(ordered_weight), F(unordered_weight)
@@ -875,21 +908,25 @@ class LocalSearcher:
                 w = w_t * F(cnt) * idf(gdf, N)
                 acc[ords] += self.params.score_postings(w, tfs, dl[ords])
                 touched[ords] = True
-            for pair in pairs:
-                if pair not in pc_map:
+            for pair in pairs:  # duplicates in the query add clauses
+                data = pc_map.get(pair)
+                if data is None:
                     continue
-                common, oc, uc = pc_map[pair]
-                for weight, cvec, dfm in (
-                    (w_o, oc, pair_df_o),
-                    (w_u, uc, pair_df_u),
-                ):
-                    hit = cvec > 0
-                    if not hit.any() or dfm[pair] <= 0:
+                t1, t2 = pair
+                gdf1 = self._global_df(t1)
+                gdf2 = self._global_df(t2)
+                if gdf1 <= 0 or gdf2 <= 0:
+                    continue
+                pair_idf = idf(gdf1, N) + idf(gdf2, N)  # SpanWeight idf sum
+                docs, fo, fu = data
+                for weight, freqs in ((w_o, fo), (w_u, fu)):
+                    hit = freqs > 0
+                    if not hit.any():
                         continue
-                    w = weight * idf(dfm[pair], N)
-                    sub = common[hit]
+                    w = weight * pair_idf
+                    sub = docs[hit]
                     acc[sub] += self.params.score_postings(
-                        w, cvec[hit], dl[sub]
+                        w, freqs[hit], dl[sub]
                     )
                     touched[sub] = True
             cand = np.flatnonzero(touched)

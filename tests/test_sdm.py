@@ -1,4 +1,7 @@
-"""SDM vs an independent scalar oracle (same documented semantics)."""
+"""SDM vs an independent scalar oracle implementing the documented Lucene
+span semantics (NearSpansOrdered lag-pointer matching with slop 1,
+NearSpansUnordered advance-the-minimum with slop 8, sloppyFreq = 1/(1+width),
+SpanWeight idf = sum of the pair's term idfs)."""
 
 import math
 
@@ -29,23 +32,44 @@ def oracle_sdm(
         pos_by_doc[docid] = m
 
     pairs = list(zip(terms, terms[1:]))
-    ord_counts: dict[tuple, dict[str, int]] = {p: {} for p in pairs}
-    unord_counts: dict[tuple, dict[str, int]] = {p: {} for p in pairs}
+    ord_counts: dict[tuple, dict[str, np.float32]] = {p: {} for p in pairs}
+    unord_counts: dict[tuple, dict[str, np.float32]] = {p: {} for p in pairs}
+    import bisect
+
     for pair in pairs:
         t1, t2 = pair
         for docid, m in pos_by_doc.items():
             p1, p2 = m.get(t1), m.get(t2)
             if not p1 or not p2:
                 continue
-            s2 = set(p2)
-            oc = sum(1 for p in p1 if p + 1 in s2)
-            uc = sum(
-                1 for p in p1 for q in p2 if p != q and abs(p - q) < window
-            )
-            if oc:
-                ord_counts[pair][docid] = oc
-            if uc:
-                unord_counts[pair][docid] = uc
+            # ordered span matches: first t2 >= i+1 per t1 occurrence
+            fo = F(0)
+            for i in p1:
+                ix = bisect.bisect_left(p2, i + 1)
+                if ix < len(p2):
+                    w = p2[ix] - i - 1
+                    if w <= 1:
+                        fo = F(fo + F(1.0 / (1 + w)))
+            # unordered: two-pointer advance-min states
+            fu = F(0)
+            x = y = 0
+            while True:
+                i, j = p1[x], p2[y]
+                d = abs(i - j)
+                if d - 1 <= window:
+                    fu = F(fu + F(1.0 / (1 + d)))
+                if i <= j:
+                    x += 1
+                    if x >= len(p1):
+                        break
+                else:
+                    y += 1
+                    if y >= len(p2):
+                        break
+            if fo > 0:
+                ord_counts[pair][docid] = fo
+            if fu > 0:
+                unord_counts[pair][docid] = fu
 
     N, avgdl = oracle.N, oracle.avgdl
     k1f, bf = F(0.9), F(0.4)
@@ -71,12 +95,17 @@ def oracle_sdm(
         )
         for docid, tf in postings.items():
             add(docid, w, tf)
+    def term_idf(t):
+        df = len(oracle.tf.get(t, {}))
+        return F(math.log(1 + (N - df + 0.5) / (df + 0.5)))
+
     for pair in pairs:
+        t1, t2 = pair
+        if not oracle.tf.get(t1) or not oracle.tf.get(t2):
+            continue
+        pair_idf = term_idf(t1) + term_idf(t2)  # SpanWeight sums term idfs
         for weight, cmap in ((w_o, ord_counts[pair]), (w_u, unord_counts[pair])):
-            df = len(cmap)
-            if df == 0:
-                continue
-            w = F(weight) * F(math.log(1 + (N - df + 0.5) / (df + 0.5)))
+            w = F(weight) * pair_idf
             for docid, tf in cmap.items():
                 add(docid, w, tf)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
