@@ -95,9 +95,23 @@ def _split_candidate(span: str) -> Iterable[str]:
     return parts
 
 
+# Fast-path guard: a text of ONLY ASCII alphanumerics and whitespace
+# tokenizes identically to str.split() (every candidate run is a _SIMPLE
+# span with no CJK and no mid-token punctuation), so the per-candidate
+# regex machinery can be skipped wholesale. Token-length chunking still
+# applies, so the fast path additionally requires no run longer than
+# MAX_TOKEN_LENGTH (checked after the split). Texts with any other
+# character take the full UAX#29 path unchanged.
+_FAST_TEXT = re.compile(r"[A-Za-z0-9\s]*\Z")
+
+
 def tokenize(text: str) -> list[str]:
     """UAX#29-subset word tokenization (Lucene StandardTokenizer parity on
     the supported character classes)."""
+    if _FAST_TEXT.fullmatch(text):
+        toks = text.split()
+        if not toks or max(map(len, toks)) <= MAX_TOKEN_LENGTH:
+            return toks
     out: list[str] = []
     for m in _CANDIDATE.finditer(text):
         span = m.group(0)

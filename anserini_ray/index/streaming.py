@@ -68,13 +68,20 @@ from .build import (
 UNIT_TARGET_ROWS = 65536
 
 
-def plan_units(paths: list[str], target_rows: int = UNIT_TARGET_ROWS):
+def plan_units(paths: list[str], target_rows: int | None = None):
     """Unit plan from parquet footers only (no data reads): each unit is a
     run of consecutive row groups of one file with a global base ordinal.
-    Returns (units, total_rows, columns_present)."""
-    units: list[dict] = []
-    base = 0
+    Returns (units, total_rows, columns_present).
+
+    target_rows=None uses the fixed UNIT_TARGET_ROWS. (An adaptive
+    shrink-for-small-corpora variant was measured and REJECTED: smaller
+    units fragment per-term posting runs — more run rows per segment means
+    slower query-side decoding — and add per-unit file/marker overhead that
+    outweighs the extra parallelism. Fixed-size units also keep the plan
+    cluster-independent, which unit-granular resume relies on.)"""
+    per_file: list[tuple[str, list[int]]] = []
     columns = None
+    total = 0
     for path in paths:
         md = pq.read_metadata(path)
         if columns is None:
@@ -83,6 +90,13 @@ def plan_units(paths: list[str], target_rows: int = UNIT_TARGET_ROWS):
                 c for c in ("conv_id", "turn_idx", "text", "ts") if c in names
             ]
         sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        per_file.append((path, sizes))
+        total += sum(sizes)
+    if target_rows is None:
+        target_rows = UNIT_TARGET_ROWS
+    units: list[dict] = []
+    base = 0
+    for path, sizes in per_file:
         i = 0
         while i < len(sizes):
             j, rows = i, 0
