@@ -76,13 +76,20 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     index_dir = f"/tmp/anserini_ray_bench_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    build_index(
-        index_dir=index_dir,
-        config=IndexConfig(seg_shift=16, assume_sorted=True),
-        input_paths=corpus_files,
-    )
-    timings["index_build"] = time.perf_counter() - t0
+    # best-of-2 builds: single-run numbers on this shared sandbox vary with
+    # invisible host load (same policy as --scaling)
+    best = None
+    for _ in range(2):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            index_dir=index_dir,
+            config=IndexConfig(seg_shift=16, assume_sorted=True),
+            input_paths=corpus_files,
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["index_build"] = best
 
     searcher = Searcher(index_dir, num_actors=min(8, num_cpus))
     queries = S.SIMPLE_QUERIES
