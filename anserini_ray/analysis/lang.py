@@ -1,8 +1,8 @@
 """Per-language analysis chains — the reference selects stock Lucene
 analyzers by the `-language` flag (`J/index/IndexCollection.java:739-773`,
 `J/search/SearchCollection.java:231-260`): zh→CJKAnalyzer, de→GermanAnalyzer,
-fr→FrenchAnalyzer, es→SpanishAnalyzer, ar→ArabicAnalyzer, hi→HindiAnalyzer
-(bn remains an unported hook).
+fr→FrenchAnalyzer, es→SpanishAnalyzer, ar→ArabicAnalyzer, hi→HindiAnalyzer,
+bn→BengaliAnalyzer — the reference's full -language matrix.
 
 Fidelity notes (the reference repo commits NO language-analyzer test
 fixtures, and no JVM exists in this sandbox to generate Lucene goldens, so
@@ -238,10 +238,10 @@ class LanguageAnalyzer:
     (analyze / analyze_with_positions / config_fingerprint)."""
 
     def __init__(self, language: str, stopwords=None):
-        if language not in ("de", "fr", "es", "ar", "hi"):
+        if language not in ("de", "fr", "es", "ar", "hi", "bn"):
             raise ValueError(
-                f"unsupported language {language!r} (zh|de|fr|es|ar|hi; "
-                "bn is an unported hook)"
+                f"unsupported language {language!r} "
+                "(zh|de|fr|es|ar|hi|bn)"
             )
         self.language = language
         defaults = {
@@ -250,6 +250,7 @@ class LanguageAnalyzer:
             "es": SPANISH_STOP_WORDS,
             "ar": ARABIC_STOP_WORDS,
             "hi": HINDI_STOP_WORDS,
+            "bn": BENGALI_STOP_WORDS,
         }
         self.stopwords = (
             frozenset(stopwords) if stopwords is not None else defaults[language]
@@ -260,6 +261,7 @@ class LanguageAnalyzer:
             "es": spanish_light_stem,
             "ar": arabic_light_stem,
             "hi": hindi_light_stem,
+            "bn": bengali_light_stem,
         }[language]
         # script-appropriate token runs (the Latin run regex cannot see
         # Arabic/Devanagari letters; combining marks stay inside the token
@@ -267,6 +269,7 @@ class LanguageAnalyzer:
         self._token_re = {
             "ar": re.compile("[\u0600-\u06FF0-9A-Za-z]+"),
             "hi": re.compile("[\u0900-\u097F0-9A-Za-z]+"),
+            "bn": re.compile("[\u0980-\u09FF0-9A-Za-z]+"),
         }.get(language, _WORD_RUN)
         self._memo: dict[str, str | None] = {}
 
@@ -290,6 +293,10 @@ class LanguageAnalyzer:
                 return None
         elif self.language == "hi":
             tok = _HI_NUKTA.sub("", tok)
+            if not tok or tok in self.stopwords:
+                return None
+        elif self.language == "bn":
+            tok = _BN_NUKTA.sub("", tok)
             if not tok or tok in self.stopwords:
                 return None
         tok = self.stem(tok)
@@ -404,6 +411,39 @@ def hindi_light_stem(word: str) -> str:
     if len(word) < 4:
         return word
     for suf in _HI_SUFFIXES:
+        if word.endswith(suf) and len(word) - len(suf) >= 2:
+            return word[: -len(suf)]
+    return word
+
+
+# ------------------------------------------------------------ Bengali (bn)
+# SIMPLIFIED port of Lucene's BengaliAnalyzer (IndicNormalizer +
+# BengaliNormalizer + stop set + BengaliStemmer): normalization reduced to
+# nukta removal; the stemmer strips common case/plural/classifier suffixes
+# by descending length (documented simplification — no fixtures exist to
+# golden-verify).
+
+BENGALI_STOP_WORDS = frozenset(
+    """এই ও থেকে করে না হয় যে তার এবং বা আর কি এক এর জন্য সে তা হবে
+    ছিল করা হয়েছে আছে কিন্তু আমি তুমি আপনি তারা আমরা এটা সেটা কোন
+    হচ্ছে দিয়ে নিয়ে পরে আগে মধ্যে উপর নিচে সাথে কাছে যদি তবে তাই
+    এখন তখন কেন কীভাবে কোথায় কখন""".split()
+)
+
+_BN_NUKTA = re.compile("়")
+_BN_SUFFIXES = [
+    "গুলোতে", "গুলিতে", "দেরকে",
+    "গুলো", "গুলি", "দের", "েদের", "খানা", "খানি",
+    "টিতে", "টাতে",
+    "েতে", "কে", "টা", "টি", "রা", "ের", "েরা",
+    "ে", "র", "ও",
+]
+
+
+def bengali_light_stem(word: str) -> str:
+    if len(word) < 4:
+        return word
+    for suf in _BN_SUFFIXES:
         if word.endswith(suf) and len(word) - len(suf) >= 2:
             return word[: -len(suf)]
     return word

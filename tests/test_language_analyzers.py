@@ -126,3 +126,10 @@ def test_arabic_index_end_to_end(ray_session, tmp_path):
     s = LocalSearcher(idx, analyzer_config={"language": "ar"})
     docids, _ = s.search("كتاب", k=10)  # unprefixed query form matches
     assert docids == ["c1:0"]
+
+
+def test_bengali_chain():
+    a = make_analyzer({"language": "bn"})
+    assert a.analyze("বইগুলো") == ["বই"]       # classifier plural
+    assert a.analyze("ছেলেদের") == ["ছেলে"]    # genitive plural
+    assert a.analyze("এই বই") == ["বই"]        # stopword dropped

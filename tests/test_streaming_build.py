@@ -150,3 +150,51 @@ def test_unsorted_input_falls_back_to_sort_path(tmp_path):
     assert set(ids) == {"c2:1", "c2:0"}
     # fallback must not leave streaming unit markers behind
     assert not glob.glob(os.path.join(idx, "units", "u*.json"))
+
+
+def test_streaming_equals_legacy_property(ray_session, tmp_path):
+    """Property-style check over randomized corpora (varied sizes, empty-doc
+    rates, seeds): the streaming build and the legacy sort build always
+    produce identical counters and bit-identical search scores."""
+    import random
+
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from anserini_ray.sources import generate_transcripts
+
+    rng = random.Random(123)
+    for trial in range(3):
+        n = rng.choice([700, 2500, 6000])
+        seed = rng.randrange(10_000)
+        empty = rng.choice([0.0, 0.05, 0.2])
+        t = generate_transcripts(n, seed=seed, empty_frac=empty)
+        src = str(tmp_path / f"c{trial}")
+        os.makedirs(src, exist_ok=True)
+        # two files, small row groups: several units + file boundaries
+        half = n // 2
+        pq_.write_table(t.slice(0, half), f"{src}/a.parquet", row_group_size=512)
+        pq_.write_table(t.slice(half), f"{src}/b.parquet", row_group_size=512)
+        files = sorted(os.path.join(src, f) for f in os.listdir(src))
+
+        d1, d2 = str(tmp_path / f"s{trial}"), str(tmp_path / f"l{trial}")
+        m1 = build_index(
+            index_dir=d1,
+            config=IndexConfig(seg_shift=10, assume_sorted=True),
+            input_paths=files,
+        )
+        m2 = build_index(
+            ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"]),
+            d2,
+            IndexConfig(seg_shift=10, assume_sorted=False),
+            input_files=files,
+        )
+        assert m1.doc_count == m2.doc_count
+        assert m1.sum_total_tf == m2.sum_total_tf
+        assert m1.counters["empty"] == m2.counters["empty"]
+        s1, s2 = LocalSearcher(d1), LocalSearcher(d2)
+        for q in ("merge sort", "pipeline", "zq0001 window"):
+            r1, sc1 = s1.search(q, k=25)
+            r2, sc2 = s2.search(q, k=25)
+            assert r1 == r2, (trial, q)
+            assert list(map(float, sc1)) == list(map(float, sc2))
