@@ -141,23 +141,49 @@ def cmd_index(argv) -> int:
     if a.whitelist:
         with open(a.whitelist) as f:
             wl = {f"{line.strip()}:0" for line in f if line.strip()}
-    ds = _load_collection(a.input, a.collection, a.tweet_max_id)
-    m = build_index(
-        ds,
-        a.index,
-        IndexConfig(
-            seg_shift=a.segShift,
-            analyzer=analyzer,
-            norm_mode="accurate" if a.accurate else "lucene",
-            resume=a.resume,
-            assume_sorted=a.assumeSorted,
-            store_docvecs=a.storeDocvectors,
-            store_positions=a.storePositions,
-        ),
-        input_files=[],
-        whitelist=wl,
-        dedup_docids=a.uniqueDocid,
+    cfg = IndexConfig(
+        seg_shift=a.segShift,
+        analyzer=analyzer,
+        norm_mode="accurate" if a.accurate else "lucene",
+        resume=a.resume,
+        assume_sorted=a.assumeSorted,
+        store_docvecs=a.storeDocvectors,
+        store_positions=a.storePositions,
     )
+    input_paths = None
+    if (
+        a.collection == "parquet"
+        and a.assumeSorted
+        and wl is None
+        and not a.uniqueDocid
+    ):
+        # sorted parquet input: hand the file list to build_index so the
+        # STREAMING path (metadata ordinals, unit resume) is used
+        import os as _os
+
+        if _os.path.isdir(a.input):
+            input_paths = sorted(
+                _os.path.join(r, f)
+                for r, _, fs in _os.walk(a.input)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        elif a.input.endswith(".parquet"):
+            input_paths = [a.input]
+    if input_paths:
+        m = build_index(
+            index_dir=a.index, config=cfg, input_paths=input_paths
+        )
+    else:
+        ds = _load_collection(a.input, a.collection, a.tweet_max_id)
+        m = build_index(
+            ds,
+            a.index,
+            cfg,
+            input_files=[],
+            whitelist=wl,
+            dedup_docids=a.uniqueDocid,
+        )
     if a.optimize:
         from .index import optimize_index
 

@@ -198,3 +198,33 @@ def test_streaming_equals_legacy_property(ray_session, tmp_path):
             r2, sc2 = s2.search(q, k=25)
             assert r1 == r2, (trial, q)
             assert list(map(float, sc1)) == list(map(float, sc2))
+
+
+def test_streaming_with_positions_phrase_parity(corpus, tmp_path):
+    """store_positions through the streaming path: phrase search results
+    identical to a legacy positional build."""
+    import ray.data
+
+    d1, d2 = str(tmp_path / "sp"), str(tmp_path / "lp")
+    build_index(
+        index_dir=d1,
+        config=IndexConfig(seg_shift=12, assume_sorted=True,
+                           store_positions=True),
+        input_paths=corpus,
+    )
+    build_index(
+        ray.data.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"]),
+        d2,
+        IndexConfig(seg_shift=12, store_positions=True),
+        input_files=corpus,
+    )
+    s1, s2 = LocalSearcher(d1), LocalSearcher(d2)
+    for q in ("merge sort", "city bus"):
+        r1, sc1 = s1.phrase_search(q, k=20)
+        r2, sc2 = s2.phrase_search(q, k=20)
+        assert r1 == r2
+        assert list(map(float, sc1)) == list(map(float, sc2))
+        d_1, ssc1 = s1.search_sdm(q, k=20)
+        d_2, ssc2 = s2.search_sdm(q, k=20)
+        assert d_1 == d_2
+        assert list(map(float, ssc1)) == list(map(float, ssc2))
