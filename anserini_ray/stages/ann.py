@@ -182,7 +182,7 @@ def embedding_cosine_near_dup(
     n_tables: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_group_size: int | None = 10_000,
+    max_group_size: int | None = 256,  # dedup.DEFAULT_MAX_GROUP_SIZE
 ):
     """Near-duplicate vector pairs: LSH bucket groupby → exact cosine verify
     within buckets (vectors shuffle only bucket keys + ids; exact verify

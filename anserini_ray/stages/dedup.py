@@ -24,6 +24,7 @@ of candidate groups (tiny unless the corpus is mostly duplicates).
 from __future__ import annotations
 
 import hashlib
+import logging
 import struct
 
 import numpy as np
@@ -34,10 +35,20 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
+logger = logging.getLogger(__name__)
+
 # ------------------------------------------------------------------ hashing
 
-def _sha1_64(s: str) -> int:
-    return struct.unpack("<q", hashlib.sha1(s.encode()).digest()[:8])[0]
+def _md5_64(s: str) -> int:
+    """First 8 bytes of md5, little-endian signed int64. md5 (not sha1) so
+    the value is reproducible inside DuckDB for the SQL correctness oracles:
+    byte i == CAST('0x' || substr(md5(s), 2*i+1, 2) AS INTEGER)."""
+    return struct.unpack("<q", hashlib.md5(s.encode()).digest()[:8])[0]
+
+
+# Back-compat alias (the token-hash choice is an internal detail; every
+# consumer goes through _hash_tokens_64 / _md5_64).
+_sha1_64 = _md5_64
 
 
 def _hash_tokens_64(tokens: list[str]) -> np.ndarray:
@@ -50,6 +61,8 @@ def _hash_tokens_64(tokens: list[str]) -> np.ndarray:
 # MinHash via universal hashing of base shingle hashes:
 #   h_i(x) = (a_i * x + b_i) mod p  over a 61-bit Mersenne prime.
 _MERSENNE = (1 << 61) - 1
+
+DEFAULT_MAX_GROUP_SIZE = 256  # clique cost cap: C(256,2) ~ 32K pairs/group
 
 
 def _perm_params(num_perm: int, seed: int = 1337):
@@ -235,7 +248,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     verify: bool = True,
-    max_group_size: int | None = 10_000,
+    max_group_size: int | None = DEFAULT_MAX_GROUP_SIZE,
 ):
     """Near-duplicate groups via MinHash + banded LSH.
 
@@ -256,8 +269,7 @@ def minhash_lsh_dedup(
             sig = minhash_signature(word_shingles(text or "", shingle_n), a, b)
             for band in range(bands):
                 band_sig = sig[band * rows : (band + 1) * rows]
-                h = hash(band_sig.tobytes())  # in-process only → re-hash:
-                h = _sha1_64(band_sig.tobytes().hex())
+                h = _md5_64(band_sig.tobytes().hex())
                 out_band.append(band)
                 out_hash.append(h)
                 out_id.append(did)
@@ -344,6 +356,7 @@ def minhash_lsh_dedup(
 # ----------------------------------------------- distributed pair machinery
 
 PAIR_BROADCAST_LIMIT = 2_000_000  # candidate pairs under this -> broadcast
+PAIR_BROADCAST_BYTES_LIMIT = 2 << 30  # ... and candidate payloads under 2 GiB
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -373,28 +386,48 @@ def distinct_pairs_from_groups(groups, ids_col: str, max_group_size: int | None)
     """Explode candidate groups (list column of member ids) into distinct
     (doc_a, doc_b) pairs as a Dataset. Oversized groups (hot buckets) emit a
     STAR around the min id instead of the quadratic clique — bounded output,
-    still connects every member to a representative for dedup purposes."""
+    still connects every member to a representative for dedup purposes.
+    Star truncation bounds recall for non-representative pairs, so it is
+    LOGGED per batch (no silent caps); pass max_group_size=None for exact
+    all-pairs semantics on corpora known to have small groups."""
 
     def emit(batch: pa.Table) -> pa.Table:
         col = batch[ids_col].combine_chunks()
-        out_a, out_b = [], []
+        out_chunks_a, out_chunks_b = [], []
+        n_truncated = 0
+        truncated_sizes: list[int] = []
+        # vectorized per group: ids as numpy, pairs via np.triu_indices
         for i in range(batch.num_rows):
-            ids = col[i].as_py()
-            if len(ids) < 2:
+            members = col[i]
+            n = len(members)
+            if n < 2:
                 continue
-            if max_group_size is not None and len(ids) > max_group_size:
-                rep = ids[0]  # ids are sorted by the group stage
-                for x in ids[1:]:
-                    out_a.append(rep)
-                    out_b.append(x)
+            ids = np.asarray(members.as_py())
+            if max_group_size is not None and n > max_group_size:
+                # star: representative (min id — ids are sorted) -> others
+                out_chunks_a.append(np.repeat(ids[:1], n - 1))
+                out_chunks_b.append(ids[1:])
+                n_truncated += 1
+                truncated_sizes.append(n)
                 continue
-            for i2 in range(len(ids)):
-                for j2 in range(i2 + 1, len(ids)):
-                    out_a.append(ids[i2])
-                    out_b.append(ids[j2])
+            ia, ib = np.triu_indices(n, k=1)
+            out_chunks_a.append(ids[ia])
+            out_chunks_b.append(ids[ib])
+        if n_truncated:
+            logger.warning(
+                "distinct_pairs_from_groups: %d group(s) star-truncated "
+                "(sizes %s > max_group_size=%d) — intra-group pairs not "
+                "involving the representative are dropped",
+                n_truncated, truncated_sizes[:10], max_group_size,
+            )
         id_type = col.type.value_type
+        if out_chunks_a:
+            a_all = np.concatenate(out_chunks_a)
+            b_all = np.concatenate(out_chunks_b)
+        else:
+            a_all, b_all = [], []
         return pa.Table.from_arrays(
-            [pa.array(out_a, type=id_type), pa.array(out_b, type=id_type)],
+            [pa.array(a_all, type=id_type), pa.array(b_all, type=id_type)],
             names=["doc_a", "doc_b"],
         )
 
@@ -411,9 +444,10 @@ def attach_pair_payloads(pairs, payload_ds):
     """Attach per-id payloads (payload_ds: (pid, payload)) to both sides of a
     (doc_a, doc_b) pair Dataset -> columns payload_a, payload_b.
 
-    Under PAIR_BROADCAST_LIMIT pairs: ray.put one (id -> payload) map built
-    from a candidate-filtered scan, read per task (broadcast map-side join).
-    Above: two distributed hash joins."""
+    Under PAIR_BROADCAST_LIMIT pairs AND PAIR_BROADCAST_BYTES_LIMIT payload
+    bytes: a (id -> payload) map is built INSIDE a Ray task (the driver holds
+    only the object ref) and read per task (broadcast map-side join).
+    Above either cap: two distributed hash joins."""
     n_pairs = pairs.count()
     if n_pairs == 0:
         sch = payload_ds.schema()
@@ -438,24 +472,25 @@ def attach_pair_payloads(pairs, payload_ds):
             mask = pa.array([i in cs for i in batch["pid"].to_pylist()])
             return batch.filter(mask)
 
-        fetched = payload_ds.map_batches(grab, batch_format="pyarrow").take_all()
-        pay_ref = ray.put({r["pid"]: r["payload"] for r in fetched})
+        fetched = payload_ds.map_batches(grab, batch_format="pyarrow").materialize()
+        # bytes-aware gate: the 2M-pair row cap does not bound payload BYTES
+        # (shingle sets scale with doc length) — fall through to the
+        # distributed hash-join path when candidate payloads are too big to
+        # hold in one worker heap
+        if fetched.size_bytes() <= PAIR_BROADCAST_BYTES_LIMIT:
+            # build the (id -> payload) map inside a Ray task, not on the
+            # driver: the driver only ever holds the object ref
+            @ray.remote
+            def _build_map(*tables: pa.Table) -> dict:
+                out = {}
+                for t in tables:
+                    ids = t["pid"].to_pylist()
+                    pls = t["payload"].to_pylist()
+                    out.update(zip(ids, pls))
+                return out
 
-        def attach(batch: pa.Table) -> pa.Table:
-            pay = ray.get(pay_ref)
-            pl_a = [pay.get(i) for i in batch["doc_a"].to_pylist()]
-            pl_b = [pay.get(i) for i in batch["doc_b"].to_pylist()]
-            return pa.Table.from_arrays(
-                [
-                    batch["doc_a"],
-                    batch["doc_b"],
-                    pa.array(pl_a),
-                    pa.array(pl_b),
-                ],
-                names=["doc_a", "doc_b", "payload_a", "payload_b"],
-            )
-
-        return pairs.map_batches(attach, batch_format="pyarrow")
+            pay_ref = _build_map.remote(*fetched.to_arrow_refs())
+            return _attach_via_map(pairs, pay_ref)
     # scale path: two hash joins (payloads shuffle once per side, candidate-
     # restricted by the inner join)
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -470,6 +505,24 @@ def attach_pair_payloads(pairs, payload_ds):
     )
     out = pairs.join(pa_ds, "inner", nparts, on=("doc_a",))
     return out.join(pb_ds, "inner", nparts, on=("doc_b",))
+
+
+def _attach_via_map(pairs, pay_ref):
+    def attach(batch: pa.Table) -> pa.Table:
+        pay = ray.get(pay_ref)
+        pl_a = [pay.get(i) for i in batch["doc_a"].to_pylist()]
+        pl_b = [pay.get(i) for i in batch["doc_b"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch["doc_a"],
+                batch["doc_b"],
+                pa.array(pl_a),
+                pa.array(pl_b),
+            ],
+            names=["doc_a", "doc_b", "payload_a", "payload_b"],
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- SimHash
@@ -524,7 +577,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     verify: bool = False,
     max_hamming: int = _SIMHASH_D,
-    max_group_size: int | None = 10_000,
+    max_group_size: int | None = DEFAULT_MAX_GROUP_SIZE,
 ):
     """SimHash near-dup blocking with the hamming<=d guarantee at scale.
 
