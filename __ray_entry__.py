@@ -437,6 +437,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": TD.FINGERPRINTS_SQL,
         "minhash_dedup": TD.MINHASH_DEDUP_SQL,
         "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
+        # round-3 oracle flips
+        "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
+        "simhash_groups": TD.SIMHASH_GROUPS_SQL,
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

@@ -231,19 +231,116 @@ MINHASH_DEDUP_SQL = """
 
 
 def simhash_groups(sf_dir: str):
+    """SimHash candidate-group member rows (band_id, band_val, doc_id) —
+    one row per member of each >=2-member block-combination bucket.
+    SQL-checkable: the md5-based token hashes, per-bit majority vote and
+    Manku block keys are all reproduced in DuckDB (SIMHASH_GROUPS_SQL)."""
     g = D.simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
-    def nonempty(batch: pa.Table) -> pa.Table:
+    def explode_members(batch: pa.Table) -> pa.Table:
         mask = pc.greater(pc.list_value_length(batch["doc_ids"]), 0)
-        return batch.filter(mask)
+        b = batch.filter(mask)
+        lens = pc.list_value_length(b["doc_ids"]).to_numpy()
+        idx = pa.array(np.repeat(np.arange(len(b)), lens))
+        ids = b["doc_ids"].combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                b["band_id"].take(idx),
+                b["band_val"].take(idx),
+                ids.flatten(),
+            ],
+            names=["band_id", "band_val", "doc_id"],
+        )
 
-    return g.map_batches(nonempty, batch_format="pyarrow")
+    return g.map_batches(explode_members, batch_format="pyarrow")
 
 
 def simhash_pairs(sf_dir: str):
     """Verified SimHash near-dup pairs (hamming <= 3 over the 64-bit
-    fingerprint; exact by block-combination blocking + distributed verify)."""
-    return D.simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), verify=True)
+    fingerprint; exact by block-combination blocking + distributed verify).
+    max_group_size=None: exact all-pairs contract to match the SQL oracle
+    (buckets on this corpus are tiny; a 100-TB run would set the cap)."""
+    return D.simhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), verify=True, max_group_size=None
+    )
+
+
+# --- DuckDB mirror of stages/dedup.py simhash64 + Manku blocking: token
+# hash = first 8 bytes of md5 little-endian (bit b = bit b%8 of hex byte
+# b//8), per-bit majority vote weighted by tf, fingerprint as signed int64.
+_SIMHASH_FP_CTE = """
+  toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ),
+  dtf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+  tokbits AS (
+    SELECT term,
+           list_transform(generate_series(0, 63), b ->
+             (CAST('0x' || substr(md5(term), (b // 8) * 2 + 1, 2) AS INTEGER)
+              >> (b % 8)) & 1) AS bits
+    FROM (SELECT DISTINCT term FROM dtf)
+  ),
+  bitsum AS (
+    SELECT d.doc_id, bs.b, sum(d.tf * (2 * tb.bits[bs.b + 1] - 1)) AS v
+    FROM dtf d JOIN tokbits tb ON d.term = tb.term
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+    GROUP BY 1, 2
+  ),
+  fp AS (
+    SELECT doc_id,
+           CAST(bit_or(CASE WHEN v > 0 AND b < 63
+                            THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           + CASE WHEN max(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+                  THEN -9223372036854775808 ELSE 0 END AS f
+    FROM bitsum GROUP BY doc_id
+  )
+"""
+
+SIMHASH_PAIRS_SQL = "WITH " + _SIMHASH_FP_CTE + """
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+def _simhash_groups_sql() -> str:
+    """Manku C(6,3) block-combination keys in SQL, generated from the same
+    block layout as stages/dedup.py _simhash_tables (sizes 11*4 + 10*2)."""
+    from itertools import combinations
+
+    sizes = [11, 11, 11, 11, 10, 10]
+    starts = [0, 11, 22, 33, 44, 54]
+    blk_cols = ", ".join(
+        f"CAST(bit_or(CASE WHEN v > 0 AND b >= {s} AND b < {s + w} "
+        f"THEN (1::BIGINT << (b - {s})) ELSE 0 END) AS BIGINT) AS blk{j}"
+        for j, (s, w) in enumerate(zip(starts, sizes))
+    )
+    arms = []
+    for tid, (b1, b2, b3) in enumerate(combinations(range(6), 3)):
+        m2 = 1 << sizes[b3]
+        m1 = 1 << (sizes[b2] + sizes[b3])
+        arms.append(
+            f"SELECT {tid} AS band_id, "
+            f"blk{b1}*{m1} + blk{b2}*{m2} + blk{b3} AS band_val, doc_id "
+            "FROM blk"
+        )
+    return (
+        "WITH " + _SIMHASH_FP_CTE
+        + f""",
+  blk AS (SELECT doc_id, {blk_cols} FROM bitsum GROUP BY doc_id),
+  keys AS ({' UNION ALL '.join(arms)}),
+  big AS (SELECT band_id, band_val FROM keys GROUP BY 1, 2
+          HAVING count(*) >= 2)
+  SELECT k.band_id, k.band_val, k.doc_id
+  FROM keys k JOIN big USING (band_id, band_val)"""
+    )
+
+
+SIMHASH_GROUPS_SQL = _simhash_groups_sql()
 
 
 # ------------------------------------------------------------------- ANN
