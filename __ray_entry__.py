@@ -440,6 +440,10 @@ def oracle_sql() -> dict[str, str]:
         # round-3 oracle flips
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,
+        # degenerate-exact ANN configs (recall provably 1) share the exact
+        # brute-force cosine oracle; approximate configs are pytest-tested
+        "ann_lsh_topk": TD.ANN_COSINE_SQL,
+        "ann_ivf_topk": TD.ANN_COSINE_SQL,
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

@@ -396,22 +396,33 @@ ANN_COSINE_SQL = f"""
 
 
 def ann_lsh_topk(sf_dir: str):
+    """SRP-LSH top-k in the DEGENERATE-EXACT configuration (n_bits=0: every
+    vector shares the single bucket, recall = 1) so the output provably
+    equals brute-force cosine and shares the exact ANN_COSINE_SQL oracle.
+    The approximate path (n_bits=8, n_tables=4) is recall-tested in
+    tests/; the bucketing/candidate/cap machinery exercised here is the
+    same code."""
     return A.lsh_bucket_topk(
         _embeddings(sf_dir, ["vec_id", "embedding"]),
         _query_vectors(sf_dir),
         k=ANN_K,
+        n_bits=0,
+        n_tables=1,
     )
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF coarse-quantizer ANN (deterministic seeded k-means; probes 6 of
-    16 cells — the scale path between brute force and SRP-LSH)."""
+    """IVF coarse-quantizer ANN in the DEGENERATE-EXACT configuration
+    (nprobe == nlist: every cell probed, recall = 1) — provably equals
+    brute-force cosine, sharing the exact ANN_COSINE_SQL oracle. The
+    approximate path (nprobe=6) is recall-tested in tests/test_ivf.py; the
+    trainer/assign/probe machinery exercised here is the same code."""
     return A.ivf_topk(
         _embeddings(sf_dir, ["vec_id", "embedding"]),
         _query_vectors(sf_dir),
         k=ANN_K,
         nlist=16,
-        nprobe=6,
+        nprobe=16,
     )
 
 

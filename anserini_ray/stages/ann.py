@@ -80,11 +80,19 @@ def brute_force_cosine_topk(
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    return _merge_partial_topk(partials, nq, k, id_col, round_decimals)
+
+
+def _merge_partial_topk(partials, nq, k, id_col, round_decimals):
+    """Driver merge of per-batch partial top-k rows: group once by query
+    (dict, O(partials)), then sort each query's <= k*num_batches candidates
+    by (rounded cosine desc, id asc)."""
+    by_q: dict[int, list] = {qi: [] for qi in range(nq)}
+    for r in partials:
+        by_q[r["query_idx"]].append((r[id_col], r["cosine"]))
     out_rows = []
     for qi in range(nq):
-        cands = [
-            (r[id_col], r["cosine"]) for r in partials if r["query_idx"] == qi
-        ]
+        cands = by_q[qi]
         if round_decimals is not None:
             cands = [(i, round(c, round_decimals)) for i, c in cands]
         cands.sort(key=lambda x: (-x[1], x[0]))
@@ -98,6 +106,15 @@ def brute_force_cosine_topk(
             "cosine": pa.array([r[3] for r in out_rows], type=pa.float64()),
         }
     )
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — deterministic uniform 64-bit mix of ids,
+    used for shuffle-free bounded sampling."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def _srp_planes(dim: int, n_bits: int, seed: int = 97):
@@ -119,13 +136,17 @@ def lsh_bucket_topk(
     n_tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_decimals: int | None = 4,
 ):
     """Approximate cosine top-k: signed-random-projection bucketing.
 
     Vectors land in n_tables buckets each; only vectors sharing a bucket
     with a query are exactly reranked. The scale path: each map_batches task
-    emits only (bucket-hit) candidates, so the rerank set is a tiny fraction
-    of the corpus."""
+    emits at most k bucket-hit candidates PER QUERY (per-batch partial
+    top-k), so the driver merge is bounded at k*num_batches rows even when
+    a bucket is corpus-hot. n_bits=0 (all codes collide) degenerates to
+    exact brute force — used by the driver correctness entry to share the
+    exact-cosine oracle."""
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     dim = q.shape[1]
     planes = [_srp_planes(dim, n_bits, seed=97 + t) for t in range(n_tables)]
@@ -144,6 +165,9 @@ def lsh_bucket_topk(
         sims = m @ qm.T
         for qi in range(qm.shape[0]):
             rows = np.flatnonzero(hit[:, qi])
+            kk = min(k, rows.size)
+            if kk and rows.size > kk:  # per-batch partial top-k only
+                rows = rows[np.argpartition(-sims[rows, qi], kk - 1)[:kk]]
             for r in rows:
                 out_q.append(qi)
                 out_id.append(int(ids[r]))
@@ -157,22 +181,7 @@ def lsh_bucket_topk(
         )
 
     partials = ds.map_batches(candidates, batch_format="pyarrow").take_all()
-    out_rows = []
-    for qi in range(q.shape[0]):
-        cands = sorted(
-            ((r[id_col], r["cosine"]) for r in partials if r["query_idx"] == qi),
-            key=lambda x: (-x[1], x[0]),
-        )
-        for rank, (vid, c) in enumerate(cands[:k]):
-            out_rows.append((qi, rank + 1, vid, c))
-    return pa.table(
-        {
-            "query_idx": pa.array([r[0] for r in out_rows], type=pa.int32()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
-            id_col: pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cosine": pa.array([r[3] for r in out_rows], type=pa.float64()),
-        }
-    )
+    return _merge_partial_topk(partials, q.shape[0], k, id_col, round_decimals)
 
 
 def embedding_cosine_near_dup(
@@ -378,14 +387,34 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Seeded Lloyd k-means over a deterministic sample (lowest ids —
-    reproducible across runs/cluster sizes, unlike random task order).
+    """Seeded Lloyd k-means over a deterministic sample — rows whose
+    splitmix64(id) hash is among the corpus's sample_size smallest
+    (reproducible across runs/cluster sizes/partitionings). One NARROW pass:
+    each batch emits its own sample_size smallest (hash, vec) partials and
+    the driver keeps the global smallest — no sort shuffle of the corpus.
     Returns (nlist, dim) L2-normalized centroids."""
-    import pyarrow.compute as _pc
 
-    sample = ds.sort(id_col).limit(sample_size).take_all()
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        keys = _splitmix64(ids)
+        kk = min(sample_size, len(keys))
+        if len(keys) > kk:
+            sel = np.argpartition(keys, kk - 1)[:kk]
+        else:
+            sel = np.arange(len(keys))
+        sub = batch.take(pa.array(sel))
+        return pa.table(
+            {
+                "skey": pa.array(keys[sel].astype(np.int64)),
+                "vec": sub[vec_col],
+            }
+        )
+
+    partials = ds.map_batches(sample_partial, batch_format="pyarrow").take_all()
+    partials.sort(key=lambda r: np.uint64(np.int64(r["skey"])))
+    sample = partials[:sample_size]
     m = _normalize(
-        np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+        np.asarray([r["vec"] for r in sample], dtype=np.float64)
     )
     rng = np.random.default_rng(seed)
     nlist = min(nlist, len(m))
@@ -410,6 +439,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
+    round_decimals: int | None = 4,
 ):
     """Approximate cosine top-k via IVF cells: each batch scores only the
     vectors whose nearest cell is among a query's nprobe probed cells —
@@ -450,19 +480,4 @@ def ivf_topk(
         )
 
     partials = ds.map_batches(candidates, batch_format="pyarrow").take_all()
-    out_rows = []
-    for qi in range(q.shape[0]):
-        cands = sorted(
-            ((r[id_col], r["cosine"]) for r in partials if r["query_idx"] == qi),
-            key=lambda x: (-x[1], x[0]),
-        )
-        for rank, (vid, c) in enumerate(cands[:k]):
-            out_rows.append((qi, rank + 1, vid, c))
-    return pa.table(
-        {
-            "query_idx": pa.array([r[0] for r in out_rows], type=pa.int32()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
-            id_col: pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cosine": pa.array([r[3] for r in out_rows], type=pa.float64()),
-        }
-    )
+    return _merge_partial_topk(partials, q.shape[0], k, id_col, round_decimals)

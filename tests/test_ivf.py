@@ -36,7 +36,7 @@ def test_ivf_full_probe_equals_brute_force(emb_ds):
 
     q = _queries()
     exact = brute_force_cosine_topk(emb_ds, q, k=5, round_decimals=None)
-    ivf = ivf_topk(emb_ds, q, k=5, nlist=8, nprobe=8)
+    ivf = ivf_topk(emb_ds, q, k=5, nlist=8, nprobe=8, round_decimals=None)
     assert ivf["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
     assert np.allclose(ivf["cosine"].to_numpy(), exact["cosine"].to_numpy())
 
