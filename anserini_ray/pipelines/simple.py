@@ -346,6 +346,182 @@ def bm25_topk_simple_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
     )
 
 
+# ----------------------------------------------- analyzed-engine SQL mirror
+# The synthetic transcript corpus has a FIXED 31-word vocabulary of clean
+# lowercase [a-z]+ words (verified identical across sf0.001/0.01/0.1), so
+# the full Porter-analyzed term space is expressible in SQL as a static
+# (word -> stem) VALUES map; stopwords ('a', 'the') are simply absent from
+# the map, mirroring the Lucene stop filter running before stemming. Built
+# once at import from the repo's own analyzer — deterministic, no data
+# dependency.
+_CORPUS_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part plan query row scan slow small sort spark "
+    "stream streaming table the value vector window"
+).split()
+
+
+def _build_stem_map() -> dict[str, str]:
+    from ..analysis.analyzer import make_analyzer
+
+    an = make_analyzer()
+    out = {}
+    for w in _CORPUS_VOCAB:
+        toks = an.analyze(w)
+        if toks:  # stopwords analyze to []
+            out[w] = toks[0]
+    return out
+
+
+STEM_MAP = _build_stem_map()
+
+STEM_VALUES_SQL = ", ".join(
+    f"('{w}', '{s}')" for w, s in sorted(STEM_MAP.items())
+)
+
+# Analyzed (term, doc) CTE over the transcripts: whitespace tokens joined to
+# the static stem map (drops stopwords), per-doc tf + analyzed dl + the
+# stock-Lucene byte4-quantized dl (closed form, verified 0..100000 against
+# norms.quantize_lengths).
+_ATOKS_CTE = f"""
+  stem(word, term) AS (VALUES {STEM_VALUES_SQL}),
+  docs AS (
+    SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id, text
+    FROM transcripts WHERE trim(text) <> ''
+  ),
+  rtoks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM docs
+  ),
+  atoks AS (
+    SELECT t.doc_id, s.term FROM rtoks t JOIN stem s ON t.word = s.word
+  ),
+  atf AS (SELECT doc_id, term, count(*) AS tf FROM atoks GROUP BY 1, 2),
+  adl AS (SELECT doc_id, count(*) AS dl FROM atoks GROUP BY 1),
+  aqdl AS (
+    SELECT doc_id, dl,
+           CAST(CASE WHEN dl < 40 THEN dl
+                     ELSE dl - ((dl - 24) %
+                          CAST(pow(2, floor(log2(dl - 24)) - 3) AS BIGINT))
+                END AS DOUBLE) AS qdl
+    FROM adl
+  )
+"""
+
+
+def analyzed_query_clause_values(queries=SIMPLE_QUERIES) -> str:
+    """(qid, analyzed term, clause count) VALUES for the benchmark queries —
+    additive duplicate clauses like BagOfWordsQueryGenerator."""
+    from ..analysis.analyzer import make_analyzer
+
+    an = make_analyzer()
+    rows = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for t in an.analyze(text):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in counts.items())
+    return ", ".join(f"({qid}, '{t}', {c})" for qid, t, c in rows)
+
+
+def index_term_stats_sql() -> str:
+    """df/cf per analyzed term — mirror of the built index's termstats."""
+    return _with_transcripts(
+        _ATOKS_CTE
+        + """
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM atf GROUP BY term"""
+    )
+
+
+def index_top_df_terms_sql(k: int = 100) -> str:
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f"""
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM atf GROUP BY term
+        ORDER BY df DESC, term ASC LIMIT {k}"""
+    )
+
+
+def bm25_topk_engine_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
+    """BM25 (k1=0.9 b=0.4) over ANALYZED terms with byte4-quantized doc
+    lengths — the float64 mirror of the engine's scoring semantics
+    (`search/bm25.py` "lucene" mode; see __ray_entry__._engine_run for the
+    float64 contract)."""
+    values = analyzed_query_clause_values(queries)
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  scores AS (
+    SELECT q.qid, atf.doc_id,
+           sum(q.cnt * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS score
+    FROM q
+    JOIN atf ON q.term = atf.term
+    JOIN gdf ON gdf.term = q.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, atf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM scores
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
+def qld_topk_engine_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
+    """QL-Dirichlet (mu=1000) over ANALYZED terms with byte4-quantized doc
+    lengths — float64 mirror of `similarities.QLDirichlet` on the built
+    index."""
+    values = analyzed_query_clause_values(queries)
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f""",
+  stats AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM atf),
+  q(qid, term, cnt) AS (VALUES {values}),
+  gcf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM atf GROUP BY term),
+  scores AS (
+    SELECT q.qid, atf.doc_id,
+           sum(q.cnt * greatest(
+             ln(1 + atf.tf / ({QLD_MU} * ((gcf.cf + 1) / (s.c + 1))))
+             + ln({QLD_MU} / (aqdl.qdl + {QLD_MU})), 0)
+           ) AS score
+    FROM q
+    JOIN atf ON q.term = atf.term
+    JOIN gcf ON gcf.term = q.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, atf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM scores
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 
