@@ -58,6 +58,25 @@ def _ensure_index(sf_dir: str, norm_mode: str = "lucene") -> str:
     return index_dir
 
 
+def _assert_f32_consistent(f32_docs, scores: dict, cands, label: str):
+    """The f32 engine ranking and the f64 oracle ranking may legitimately
+    permute docs whose scores round to the same 1e-4 value (the engine
+    breaks such ties by raw f32 score, the oracle by docid); the invariant
+    is: identical docid sets STRICTLY ABOVE the k-th rounded score, and
+    every f32 top-k doc rounds to >= that boundary."""
+    boundary = cands[-1][0]
+    strict = {d for sc, d in cands if sc > boundary}
+    f32_strict = {d for d in f32_docs if round(scores[d], 4) > boundary}
+    ok = f32_strict == strict and all(
+        round(scores[d], 4) >= boundary for d in f32_docs
+    )
+    if not ok:
+        raise AssertionError(
+            f"float32 engine top-k diverged from the float64 oracle "
+            f"ranking beyond rounding ties for query {label}"
+        )
+
+
 def _exhaustive_f64_topk(sf_dir: str, sim: str, k: int = 10):
     """Oracle-grade top-k over the BUILT index: postings, tfs, termstats and
     byte4-quantized norms all come from the real segment readers; per-doc
@@ -122,27 +141,10 @@ def _exhaustive_f64_topk(sf_dir: str, sim: str, k: int = 10):
             key=lambda x: (-x[0], x[1]),
         )[:k]
         # cross-check vs the REAL f32 engine scorer (s was built with the
-        # matching similarity): the two rankings may legitimately permute
-        # docs whose scores round to the same 1e-4 value (the engine breaks
-        # such ties by raw f32 score, the oracle by docid), so the invariant
-        # is: identical docid sets STRICTLY ABOVE the k-th rounded score,
-        # and every f32 top-k doc rounds to >= that boundary.
+        # matching similarity)
         if cands:
             f32_docs, _ = s.search(text, k=k, adjust_ties=False)
-            boundary = cands[-1][0]
-            strict = {d for sc, d in cands if sc > boundary}
-            f32_strict = {
-                d for d in f32_docs if round(scores[d], 4) > boundary
-            }
-            ok = f32_strict == strict and all(
-                round(scores[d], 4) >= boundary for d in f32_docs
-            )
-            if not ok:
-                raise AssertionError(
-                    f"float32 engine top-{k} diverged from the float64 "
-                    f"oracle ranking beyond rounding ties for query "
-                    f"{qid!r} ({sim})"
-                )
+            _assert_f32_consistent(f32_docs, scores, cands, f"{qid!r} ({sim})")
         for rank, (sc, d) in enumerate(cands):
             out_rows.append((qid, rank + 1, d, sc))
     return pa.table(
@@ -316,15 +318,40 @@ def _slr_topk(sf_dir: str):
         index_dir, similarity="slr", sim_params={"precision": 2},
         analyzer_config={"type": "slr", "precision": 2},
     )
-    qids, ranks, docs, scores = [], [], [], []
+    k = 5
+    qids, ranks, docs, out_scores = [], [], [], []
     for qi, vec in enumerate(_query_vectors(sf_dir)):
         qtext = " ".join(f"{v:.4f}" for v in np.maximum(vec, 0.0))
-        d, sc = s.search_slr(qtext, k=5)
-        for r, (di, si) in enumerate(zip(d, sc)):
+        # float64 oracle-grade rescoring from the index's own postings
+        # (quantized tfs), ranked (round4 desc, docid asc) like the SQL
+        scores: dict[str, float] = {}
+        for i, raw in enumerate(qtext.split()):
+            v = float(raw)
+            if v == 0.0:
+                continue
+            term = str(i).zfill(5)
+            for r in s.readers:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                contrib = v * tfs.astype("float64") / 100.0
+                for d, c in zip(
+                    r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                ):
+                    scores[d] = scores.get(d, 0.0) + float(c)
+        cands = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        if cands:  # cross-check the f32 engine path on the same index
+            f32_docs, _ = s.search_slr(qtext, k=k, adjust_ties=False)
+            _assert_f32_consistent(f32_docs, scores, cands, f"slr q{qi}")
+        for rank, (sc, d) in enumerate(cands):
             qids.append(qi)
-            ranks.append(r + 1)
-            docs.append(di)
-            scores.append(float(si))
+            ranks.append(rank + 1)
+            docs.append(d)
+            out_scores.append(sc)
     import pyarrow as pa
 
     return pa.table(
@@ -332,7 +359,7 @@ def _slr_topk(sf_dir: str):
             "query_idx": pa.array(qids, type=pa.int32()),
             "rank": pa.array(ranks, type=pa.int32()),
             "doc_id": pa.array(docs, type=pa.string()),
-            "score": pa.array(scores, type=pa.float64()),
+            "score": pa.array(out_scores, type=pa.float64()),
         }
     )
 
@@ -527,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": TD.ANN_COSINE_SQL,
         # analyzed-index oracles: the fixed 31-word corpus vocabulary makes
         # the Porter-analyzed term space a static (word, stem) VALUES map
+        "slr_topk": TD.SLR_TOPK_SQL,
         "index_term_stats": S.index_term_stats_sql(),
         "index_top_df_terms": S.index_top_df_terms_sql(),
         "bm25_topk_engine": S.bm25_topk_engine_sql(),

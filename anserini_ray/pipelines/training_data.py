@@ -172,16 +172,17 @@ LANG_ID_SQL = """
 
 
 def fingerprints(sf_dir: str):
-    """64-bit md5-prefix content fingerprints (SQL-checkable; the FNV rolling
-    fingerprint column is engine-internal and excluded here)."""
+    """64-bit md5-prefix content fingerprints (SQL-checkable; the FNV
+    rolling 'fingerprint' int64 column is engine-internal and excluded
+    here)."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         T.Fingerprint(), batch_format="pyarrow"
     )
-    return ds.select_columns(["doc_id", "fingerprint"])
+    return ds.select_columns(["doc_id", "fingerprint_md5"])
 
 
 FINGERPRINTS_SQL = """
-    SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents
+    SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint_md5 FROM documents
 """
 
 
@@ -473,6 +474,47 @@ EMBEDDING_NEAR_DUP_SQL = """
       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, round(c, 4) AS cosine FROM p WHERE c >= 0.99
+"""
+
+
+# --- SLR (sparse latent retrieval) SQL mirror: the engine encodes each
+# clipped embedding as '%.4f' activation strings; the SLR analyzer turns
+# dimension i into term zfill(i,5) with tf = first 2 decimal digits
+# (precision=2), and SlrDotProduct scores q_activation * tf / 100. DuckDB's
+# printf('%.4f') is the same correctly-rounded decimal as Python's format,
+# so the whole pipeline is reproducible in SQL.
+SLR_TOPK_SQL = f"""
+    WITH de AS (
+      SELECT vec_id, i,
+             printf('%.4f', greatest(CAST(embedding[i] AS DOUBLE), 0)) AS s
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    doc AS (
+      SELECT vec_id, i,
+             CAST(substr(split_part(s, '.', 2), 1, 2) AS INTEGER) AS tf
+      FROM de
+      WHERE CAST(substr(split_part(s, '.', 2), 1, 2) AS INTEGER) >= 1
+    ),
+    q AS (
+      SELECT vec_id AS qid, i, CAST(s AS DOUBLE) AS qv
+      FROM de WHERE vec_id IN {ANN_QUERY_IDS} AND CAST(s AS DOUBLE) <> 0
+    ),
+    scores AS (
+      SELECT q.qid, d.vec_id,
+             round(sum(q.qv * d.tf / 100.0), 4) AS score
+      FROM q JOIN doc d ON q.i = d.i
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scores
+    )
+    SELECT CAST(qid AS INTEGER) AS query_idx, CAST(rank AS INTEGER) AS rank,
+           'vec-' || lpad(CAST(vec_id AS VARCHAR), 10, '0') || ':0' AS doc_id, score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_idx, rank
 """
 
 

@@ -161,6 +161,10 @@ class Fingerprint:
                 [rolling_fingerprint(t or "") for t in texts],
                 type=pa.int64(),
             )
-        return batch.append_column("fingerprint", md5s).append_column(
-            "fingerprint_fnv", fps
+        # 'fingerprint' keeps its original round-1 type/semantics (FNV-1a
+        # int64); the md5 hex prefix is the separately-named cross-engine
+        # content hash (round-2 briefly swapped these — a breaking schema
+        # change for external consumers, reverted per review)
+        return batch.append_column("fingerprint", fps).append_column(
+            "fingerprint_md5", md5s
         )
