@@ -301,6 +301,53 @@ def _clean_streaming(index_dir: str, keep_units: set[int]) -> None:
                 os.unlink(os.path.join(udir, fn))
 
 
+def _remove_units(index_dir: str, unit_ids: set[int]) -> None:
+    """Delete the partition files + marker of specific units (stale append
+    attempts)."""
+    if not unit_ids:
+        return
+    names = {f"u{uid:08d}.parquet" for uid in unit_ids}
+    for sub in ("postings", "docmap", "docvecs"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            seg = os.path.join(root, entry)
+            if not os.path.isdir(seg):
+                continue
+            for fn in os.listdir(seg):
+                if fn in names:
+                    os.unlink(os.path.join(seg, fn))
+    udir = os.path.join(index_dir, "units")
+    if os.path.isdir(udir):
+        for uid in unit_ids:
+            p = os.path.join(udir, f"u{uid:08d}.json")
+            if os.path.exists(p):
+                os.unlink(p)
+
+
+def _remove_unmarked_unit_files(index_dir: str) -> None:
+    """Delete u*.parquet partition files whose unit has NO marker — a unit
+    that crashed between writing its parquet and its marker. Markers are
+    written last and are the ground truth; unmarked files would be ingested
+    by the skinny read-back and corrupt global stats."""
+    import re
+
+    marked = {f"u{uid:08d}.parquet" for uid in _load_markers(index_dir)}
+    pat = re.compile(r"^u\d{8}\.parquet$")
+    for sub in ("postings", "docmap", "docvecs"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            seg = os.path.join(root, entry)
+            if not os.path.isdir(seg):
+                continue
+            for fn in os.listdir(seg):
+                if pat.match(fn) and fn not in marked:
+                    os.unlink(os.path.join(seg, fn))
+
+
 def build_index_streaming(
     input_paths: list[str],
     index_dir: str,
@@ -510,23 +557,62 @@ def append_index_streaming(
         raise ValueError(
             "append requires a streaming-built index (no unit markers found)"
         )
-    base_start = max(m["base"] + m["rows"] for m in old_markers.values())
-    next_uid = max(old_markers) + 1
-
     paths = sorted(new_paths)
     fingerprint = input_fingerprint(paths, config.repr_for_fingerprint())
+    # Crash idempotency (mirrors build_index_streaming's resume): units
+    # written by a previous — possibly crashed — append of THIS SAME input
+    # carry this fingerprint. They must not shift next_uid/base_start
+    # (that would re-plan already-ingested rows at new ordinals, i.e.
+    # duplicate docs); instead they are resumed when their placement
+    # matches the new plan. Consequence: re-appending identical input is a
+    # no-op, not a duplication.
+    prior_same = {
+        uid: m
+        for uid, m in old_markers.items()
+        if m.get("fingerprint") == fingerprint
+    }
+    original = {
+        uid: m for uid, m in old_markers.items() if uid not in prior_same
+    }
+    if not original:
+        raise ValueError(
+            "append input fingerprint matches the base build — refusing to "
+            "append an index onto itself"
+        )
+    base_start = max(m["base"] + m["rows"] for m in original.values())
+    next_uid = max(original) + 1
+
     units, new_rows, columns = plan_units(paths)
     for u in units:
         u["unit_id"] += next_uid
         u["base"] += base_start
+    resumed: dict[int, dict] = {}
+    if config.resume:
+        for u in units:
+            m = prior_same.get(u["unit_id"])
+            if (
+                m is not None
+                and m.get("base") == u["base"]
+                and m.get("rows") == u["rows"]
+            ):
+                resumed[u["unit_id"]] = m
+    # drop stale markers+files from prior attempts that the new plan does
+    # not resume, and orphan partition files with no marker at all (a unit
+    # that crashed after writing parquet but before its marker)
+    stale = (set(prior_same) - set(resumed)) | {
+        u["unit_id"] for u in units if u["unit_id"] not in resumed
+    }
+    _remove_units(index_dir, stale)
+    _remove_unmarked_unit_files(index_dir)
     import shutil
 
     shutil.rmtree(os.path.join(index_dir, "termstats"), ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "manifests"), ignore_errors=True)
     _mark("plan")
 
-    if units:
-        ds = ray.data.from_items(units, override_num_blocks=len(units))
+    todo = [u for u in units if u["unit_id"] not in resumed]
+    if todo:
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         ds.map_batches(
             UnitWorker(index_dir, config, columns, fingerprint,
                        verify_sorted=True),

@@ -85,3 +85,57 @@ def test_append_requires_streaming_index(corpora, tmp_path):
     build_index(ds, idx, IndexConfig(seg_shift=12), input_files=a_files)
     with pytest.raises(ValueError):
         append_index_streaming(b_files, idx, IndexConfig(seg_shift=12))
+
+
+def test_append_retry_after_crash_is_idempotent(corpora, tmp_path_factory):
+    """A crashed append (some units finished, one unit's marker missing —
+    i.e. orphan partition files — and the rest never run) must, on retry
+    with the same input, resume the finished units, clean the orphans, run
+    the missing units, and converge to the one-shot A+B index with no
+    duplicate ordinals."""
+    import glob
+    import json
+
+    a_files, b_files = corpora
+    root = tmp_path_factory.mktemp("append_crash")
+    inc = str(root / "incremental")
+    ref = str(root / "oneshot")
+    cfg = IndexConfig(seg_shift=12, assume_sorted=True)
+    build_index(index_dir=inc, config=cfg, input_paths=a_files)
+
+    # full append, then simulate the crash state: drop the LAST appended
+    # unit's marker (leaving its parquet orphaned) and the manifests
+    append_index_streaming(b_files, inc, cfg)
+    markers = sorted(glob.glob(os.path.join(inc, "units", "u*.json")))
+    with open(markers[-1]) as f:
+        crashed_uid = int(json.load(f)["unit_id"])
+    os.unlink(markers[-1])
+    orphans = [
+        p
+        for p in glob.glob(
+            os.path.join(inc, "*", "segment_id=*", f"u{crashed_uid:08d}.parquet")
+        )
+    ]
+    assert orphans, "expected orphan partition files for the crashed unit"
+
+    m2 = append_index_streaming(b_files, inc, cfg)  # the retry
+    m3 = build_index(
+        index_dir=ref,
+        config=IndexConfig(seg_shift=12, assume_sorted=True),
+        input_paths=a_files + b_files,
+    )
+    assert m2.doc_count == m3.doc_count
+    assert m2.sum_total_tf == m3.sum_total_tf
+    assert m2.segments == m3.segments
+    s_inc = LocalSearcher(inc)
+    s_ref = LocalSearcher(ref)
+    for q in QUERIES:
+        di, si = s_inc.search(q, k=40)
+        dr, sr = s_ref.search(q, k=40)
+        assert di == dr
+        assert list(map(float, si)) == list(map(float, sr))
+
+    # and a full re-append of identical input is a no-op, not a duplication
+    m4 = append_index_streaming(b_files, inc, cfg)
+    assert m4.doc_count == m3.doc_count
+    assert m4.sum_total_tf == m3.sum_total_tf
