@@ -159,8 +159,10 @@ class Analyzer:
         stemmer: str | None = "porter",
         stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
     ):
-        if stemmer not in ("porter", None, "none"):
-            raise ValueError(f"unsupported stemmer: {stemmer!r} (porter|none)")
+        if stemmer not in ("porter", "krovetz", None, "none"):
+            raise ValueError(
+                f"unsupported stemmer: {stemmer!r} (porter|krovetz|none)"
+            )
         self.stemmer = stemmer if stemmer != "none" else None
         self.stopwords = stopwords if stopwords is not None else frozenset()
         # raw token -> fully processed token (possessive+lower+stop+stem), or
@@ -176,6 +178,12 @@ class Analyzer:
             return None
         if self.stemmer == "porter":
             tok = porter_stem(tok)
+            if not tok:
+                return None
+        elif self.stemmer == "krovetz":
+            from .kstem import kstem
+
+            tok = kstem(tok)
             if not tok:
                 return None
         return tok

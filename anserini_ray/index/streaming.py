@@ -171,6 +171,7 @@ class UnitWorker:
         self.columns = columns
         self.fingerprint = fingerprint
         self.verify_sorted = verify_sorted
+        self.shard = config.shard
         self.encoder = make_subblock_encoder(
             config.seg_shift, config.block_size, frozenset()
         )
@@ -193,8 +194,8 @@ class UnitWorker:
             first = _key_tuple(conv, turn, 0)
             last = _key_tuple(conv, turn, t.num_rows - 1)
 
-        tok, idx, n_errors = tokenize_table(
-            t, self.analyzer_config, self.store_positions
+        tok, idx, n_errors, n_skipped = tokenize_table(
+            t, self.analyzer_config, self.store_positions, self.shard
         )
         doc_ord = (u["base"] + idx).astype(np.int64)
         tok = tok.append_column("doc_ord", pa.array(doc_ord))
@@ -239,6 +240,7 @@ class UnitWorker:
             "rows": u["rows"],
             "kept": int(idx.size),
             "errors": int(n_errors),
+            "skipped": int(n_skipped),
             "first": first,
             "last": last,
             "segments": {
@@ -436,9 +438,11 @@ def build_index_streaming(
     term_counts: dict[int, int] = {}
     kept_total = 0
     err_total = 0
+    skip_total = 0
     for m in markers.values():
         kept_total += int(m["kept"])
         err_total += int(m["errors"])
+        skip_total += int(m.get("skipped", 0))
         for sid, vals in m["segments"].items():
             sid = int(sid)
             seg_counts[sid] = seg_counts.get(sid, 0) + int(vals[0])
@@ -489,8 +493,8 @@ def build_index_streaming(
         counters={
             "total_input": int(total_input),
             "indexed": doc_count,
-            "empty": int(total_input) - kept_total - err_total,
-            "skipped": 0,
+            "empty": int(total_input) - kept_total - err_total - skip_total,
+            "skipped": skip_total,
             "errors": err_total,
             "resumed_units": len(resumed),
             "total_units": len(units),
@@ -645,9 +649,11 @@ def append_index_streaming(
     term_counts: dict[int, int] = {}
     kept_total = 0
     err_total = 0
+    skip_total = 0
     for m in markers.values():
         kept_total += int(m["kept"])
         err_total += int(m["errors"])
+        skip_total += int(m.get("skipped", 0))
         for sid, vals in m["segments"].items():
             sid = int(sid)
             seg_counts[sid] = seg_counts.get(sid, 0) + int(vals[0])
@@ -695,8 +701,8 @@ def append_index_streaming(
         counters={
             "total_input": total_input,
             "indexed": doc_count,
-            "empty": total_input - kept_total - err_total,
-            "skipped": 0,
+            "empty": total_input - kept_total - err_total - skip_total,
+            "skipped": skip_total,
             "errors": err_total,
             "appended_units": len(units),
             "total_units": len(markers),
