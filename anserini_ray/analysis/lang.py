@@ -12,16 +12,18 @@ parity below is algorithmic, verified by self-authored token goldens):
   CJKBigramFilter semantics: n-char han run → n-1 overlapping bigrams,
   isolated chars pass as unigrams; latin subtokens lowercased; CJKAnalyzer
   default stop set). High fidelity.
-- de: lowercase → German stop set → normalization (ß→ss; umlaut fold) →
-  GermanLightStemFilter (Savoy's light stemmer as implemented by Lucene's
-  GermanLightStemmer step1/step2). Normalization approximates Lucene's
-  GermanNormalizationFilter (the ae/oe/ue digraph state machine is omitted).
+- de: lowercase → German stop set → the FULL GermanNormalizationFilter
+  digraph state machine (ae/oe/ue → a/o/u except after vowel or q; umlaut
+  fold; ß→ss) → GermanLightStemFilter (Lucene GermanLightStemmer
+  step1/step2). High fidelity.
 - es: lowercase → Spanish stop set → SpanishLightStemmer (accent fold +
   plural/gender suffix rules incl. ces→z). High fidelity.
 - fr: elision (l'/d'/qu' … article strip, Lucene DEFAULT_ARTICLES) →
-  lowercase → French stop set → SIMPLIFIED Savoy-style light stemmer
-  (aux→al, plural x/s, -ement, final-vowel trim, accent fold, double-final-
-  consonant collapse). Marked simplified vs Lucene's FrenchLightStemmer.
+  lowercase → French stop set → the FULL FrenchLightStemmer rule set
+  (plural x/s with -aux→-al, the ordered derivational suffix table, and
+  norm()'s fold/duplicate-collapse/final trims). Reconstructed from the
+  published algorithm; a few length thresholds are unverifiable without a
+  JVM — declared.
 
 Stop sets are the common cores of the snowball lists Lucene ships; extend
 via config {"stopwords": [...]} for exact corpora.
@@ -155,33 +157,176 @@ def spanish_light_stem(word: str) -> str:
     return s
 
 
-_FR_FOLD = str.maketrans("àâäéèêëîïôöùûüç", "aaaeeeeiioouuuc")
+def german_normalize(word: str) -> str:
+    """Lucene GermanNormalizationFilter — the full digraph state machine:
+    'ae'/'oe' always fold to 'a'/'o'; 'ue' folds to 'u' EXCEPT after a vowel
+    or 'q' (so 'que'/'aue' keep their e); umlauts fold (ä→a, ö→o, ü→u) and
+    'ß'→'ss'. States: N (initial/consonant), U (after a/o, or u-after-
+    consonant), V (after other vowel-ish chars)."""
+    N, U, V = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in word:
+        if c in ("a", "o"):
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # delete the e of the digraph
+            out.append(c)
+            state = V
+        elif c in ("i", "q", "y"):
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+_FR_NORM_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(s: str) -> str:
+    """FrenchLightStemmer.norm(): accent fold + adjacent-duplicate-letter
+    collapse (only for len > 4), then -ie, final r/e/e, and a final double
+    letter — each guarded at len > 4."""
+    if len(s) > 4:
+        s = s.translate(_FR_NORM_FOLD)
+        # delete any letter equal to its predecessor (single pass, like the
+        # char-array delete loop)
+        out = [s[0]]
+        for ch in s[1:]:
+            if ch == out[-1] and ch.isalpha():
+                continue
+            out.append(ch)
+        s = "".join(out)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
 
 
 def french_light_stem(word: str) -> str:
-    """SIMPLIFIED Savoy-style French light stemmer (see module docstring):
-    aux->al, plural x/s, -ement, final e/é trim, accent fold, final double
-    consonant collapse. NOT token-identical to Lucene FrenchLightStemmer."""
+    """Lucene FrenchLightStemmer (Savoy, "Light Stemming Approaches for the
+    French ... Languages") — the FULL published rule set: plural x/s with
+    the -aux→-al rewrite, then the ordered suffix table (-issement,
+    -issant, -ement[+ive→if], -ficatrice/-ficateur, -catrice/-cateur→-quer,
+    -atrice/-ateur→-er, -trice→-teur, -ième, -teuse/-teur→-ter, -euse,
+    -ère→-er, -ive→-if, folle/molle→fou/mou, -nnelle/-nnel→-nn, -ète→-et,
+    -ique, -esse, -inage, -isation[ual→uel], -isateur, -ation, -ition),
+    finishing in norm() (accent fold, duplicate collapse, -ie/r/e/e/double
+    trims). Reconstructed from the published algorithm; bit-parity with
+    Lucene is unverifiable in-sandbox (no JVM) — declared."""
     s = word
-    if len(s) > 5 and s.endswith("x"):
-        if s.endswith("aux") and not s.endswith("eaux"):
-            s = s[:-2] + "l"
-        else:
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s = s[:-2] + "l" + s[-1]
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+
+    if len(s) > 9 and s.endswith("issement"):
+        return _fr_norm(s[:-6][:-1] + "r")
+    if len(s) > 8 and s.endswith("issant"):
+        return _fr_norm(s[:-4][:-1] + "r")
+    if len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]
+        if len(s) > 3 and s.endswith("ive"):
             s = s[:-1]
-    if len(s) > 3 and s.endswith("x"):
+            s = s[:-1] + "f"
+        return _fr_norm(s)
+    if len(s) > 11 and s.endswith("ficatrice"):
+        s = s[:-5]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 10 and s.endswith("ficateur"):
+        s = s[:-4]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 9 and s.endswith("catrice"):
+        s = s[:-3]
+        return _fr_norm(s[:-4] + "quer")
+    if len(s) > 8 and s.endswith("cateur"):
+        s = s[:-2]
+        return _fr_norm(s[:-4] + "quer")
+    if len(s) > 8 and s.endswith("atrice"):
+        s = s[:-4]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 7 and s.endswith("ateur"):
+        s = s[:-3]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 6 and s.endswith("trice"):
         s = s[:-1]
-    if len(s) > 3 and s.endswith("s"):
+        s = s[:-3] + "eur"
+    if len(s) > 5 and s.endswith("ième"):
+        return _fr_norm(s[:-4])
+    if len(s) > 7 and s.endswith("teuse"):
+        s = s[:-2]
+        return _fr_norm(s[:-1] + "r")
+    if len(s) > 6 and s.endswith("teur"):
         s = s[:-1]
-    if len(s) > 8 and s.endswith("issement"):
-        s = s[:-6]  # -issement -> -iss
-    elif len(s) > 6 and s.endswith("ement"):
-        s = s[:-4]  # -ement -> -e
-    s = s.translate(_FR_FOLD)
-    while len(s) > 4 and s[-1] in ("e", "r"):
+        return _fr_norm(s[:-1] + "r")
+    if len(s) > 5 and s.endswith("euse"):
+        return _fr_norm(s[:-2])
+    if len(s) > 8 and s.endswith("ère"):
         s = s[:-1]
-    if len(s) > 4 and s[-1] == s[-2] and s[-1] not in "aeiou":
+        return _fr_norm(s[:-2] + "e" + s[-1])
+    if len(s) > 7 and s.endswith("ive"):
         s = s[:-1]
-    return s
+        return _fr_norm(s[:-1] + "f")
+    if len(s) > 4 and (s.endswith("folle") or s.endswith("molle")):
+        s = s[:-2]
+        return _fr_norm(s[:-1] + "u")
+    if len(s) > 9 and s.endswith("nnelle"):
+        return _fr_norm(s[:-5])
+    if len(s) > 9 and s.endswith("nnel"):
+        return _fr_norm(s[:-3])
+    if len(s) > 4 and s.endswith("ète"):
+        s = s[:-1]
+        s = s[:-2] + "e" + s[-1]
+    if len(s) > 8 and s.endswith("ique"):
+        s = s[:-4]
+    if len(s) > 8 and s.endswith("esse"):
+        return _fr_norm(s[:-3])
+    if len(s) > 7 and s.endswith("inage"):
+        return _fr_norm(s[:-3])
+    if len(s) > 9 and s.endswith("isation"):
+        s = s[:-7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-2] + "e" + s[-1]
+        return _fr_norm(s)
+    if len(s) > 9 and s.endswith("isateur"):
+        return _fr_norm(s[:-7])
+    if len(s) > 8 and s.endswith("ation"):
+        return _fr_norm(s[:-5])
+    if len(s) > 8 and s.endswith("ition"):
+        return _fr_norm(s[:-5])
+    return _fr_norm(s)
 
 
 # --------------------------------------------------------------- analyzers
@@ -283,10 +428,13 @@ class LanguageAnalyzer:
             if head.lower() in FRENCH_ARTICLES and tail:
                 tok = tail  # ElisionFilter
         tok = tok.lower()
-        if self.language == "de":
-            tok = tok.replace("ß", "ss")  # GermanNormalizationFilter (approx)
         if not tok or tok in self.stopwords:
             return None
+        if self.language == "de":
+            # full GermanNormalizationFilter digraph machine, AFTER the stop
+            # filter (Lucene chain order: stop set holds umlauted surface
+            # forms like 'für')
+            tok = german_normalize(tok)
         if self.language == "ar":
             tok = arabic_normalize(tok)
             if not tok or tok in self.stopwords:

@@ -45,7 +45,7 @@ def test_french_chain():
     a = make_analyzer({"language": "fr"})
     # elision strips the article
     assert a.analyze("l'avion") == ["avion"]
-    assert a.analyze("d'accord qu'il") == ["accord"]  # il is a stopword
+    assert a.analyze("d'accord qu'il") == ["acord"]  # il stopped; cc collapsed by norm()
     # plural x/s + aux -> al
     assert a.analyze("chevaux cheval") == ["cheval", "cheval"]
     assert a.analyze("les maisons la maison") == ["maison", "maison"]
@@ -133,3 +133,38 @@ def test_bengali_chain():
     assert a.analyze("বইগুলো") == ["বই"]       # classifier plural
     assert a.analyze("ছেলেদের") == ["ছেলে"]    # genitive plural
     assert a.analyze("এই বই") == ["বই"]        # stopword dropped
+
+
+def test_french_light_stemmer_full_rule_set():
+    from anserini_ray.analysis.lang import french_light_stem as fr
+
+    cases = {
+        "chevaux": "cheval",        # -aux -> -al rewrite
+        "peaux": "peau",            # plain plural x (eaux keeps eau)
+        "établissement": "etabli",  # -issement -> -ir, then norm trims
+        "finissant": "fini",        # -issant -> -ir
+        "rapidement": "rapid",      # -ement
+        "fabricatrice": "fabriqu",  # -catrice -> -quer
+        "communicateur": "comuniqu",  # -cateur -> -quer (+ mm collapse)
+        "administratrice": "administr",  # -atrice -> -er
+        "chanteuse": "chant",       # -teuse -> -ter
+        "sportive": "sportif",      # -ive -> -if
+        "troisième": "trois",       # -ième
+        "gentillesse": "gentil",    # -esse (+ ll collapse)
+        "normalisation": "normal",  # -isation
+        "opération": "opér",        # -ation (norm folds only at len>4)
+    }
+    for w, want in cases.items():
+        assert fr(w) == want, (w, fr(w), want)
+
+
+def test_german_normalization_digraph_machine():
+    from anserini_ray.analysis.lang import german_normalize as gn
+
+    assert gn("haeuser") == "hauser"   # ae -> a
+    assert gn("schoen") == "schon"     # oe -> o
+    assert gn("fuer") == "fur"         # ue after consonant -> u
+    assert gn("quelle") == "quelle"    # ue after q KEEPS the e
+    assert gn("frauen") == "frauen"    # ue after vowel KEEPS the e
+    assert gn("grösse") == "grosse"    # umlaut fold (after stop filter)
+    assert gn("weiß") == "weiss"       # ß -> ss
