@@ -473,6 +473,13 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
     per-posting delta-varint position streams (split at decode by tf)."""
 
     def encode_subblocks(batch: pa.Table) -> pa.Table:
+        """Fully vectorized across ALL runs in the batch — no per-run Python.
+        Realistic (Zipfian) vocabularies make the run count approach the
+        posting count (~1 run per (term, doc) at the tail), so per-run numpy
+        calls are ~100x slower than this batch-wide formulation: one varint
+        stream per column for the WHOLE batch, runs sliced out zero-copy via
+        Arrow LargeBinary offset buffers; per-run and per-block stats via
+        np.reduceat."""
         n_docs = batch.num_rows
         if n_docs == 0:
             return _empty_subblock_table()
@@ -501,80 +508,124 @@ def make_subblock_encoder(seg_shift: int, block_size: int, skip_segments: frozen
         s_ord = post_ord[order]
         s_tf = flat_tfs[order]
         s_dl = post_dl[order]
+        if skip_segments:
+            keep = ~np.isin(s_seg, np.asarray(sorted(skip_segments)))
+            kept_idx = np.flatnonzero(keep)
+            order = order[kept_idx]
+            s_seg, s_code = s_seg[kept_idx], s_code[kept_idx]
+            s_ord, s_tf, s_dl = s_ord[kept_idx], s_tf[kept_idx], s_dl[kept_idx]
+        npost = s_seg.size
+        if npost == 0:
+            return _empty_subblock_table()
         # run boundaries where (segment, term) changes
-        change = np.empty(s_seg.size, dtype=bool)
+        change = np.empty(npost, dtype=bool)
         change[0] = True
         np.logical_or(
             s_seg[1:] != s_seg[:-1], s_code[1:] != s_code[:-1], out=change[1:]
         )
         run_starts = np.flatnonzero(change)
-        run_ends = np.append(run_starts[1:], s_seg.size)
+        run_ends = np.append(run_starts[1:], npost)
+        run_len = run_ends - run_starts
+        n_runs = run_starts.size
 
-        out = {
-            "segment_id": [], "term_code": [], "first_local": [], "df": [],
-            "cf": [], "max_tf": [], "doc_blob": [], "tf_blob": [],
-            "blk_first": [], "blk_n": [], "blk_max_tf": [], "blk_min_dl": [],
-            "blk_doc_off": [], "blk_tf_off": [],
-        }
-        seg_mask = (1 << seg_shift) - 1
-        out["pos_blob"] = []
-        for lo, hi in zip(run_starts, run_ends):
-            seg = int(s_seg[lo])
-            if seg in skip_segments:
-                continue
-            local = (s_ord[lo:hi] & seg_mask).astype(np.uint64)
-            tf_run = s_tf[lo:hi]
-            dl_run = s_dl[lo:hi]
-            (dblob, tblob, bf, bn, bmt, bmd, bdo, bto) = _encode_term_run(
-                local, tf_run.astype(np.uint64), dl_run, block_size
+        seg_mask = np.int64((1 << seg_shift) - 1)
+        s_local = (s_ord & seg_mask).astype(np.uint64)
+        # doc gaps across the WHOLE sorted stream, reset at run starts
+        gaps = s_local.copy()
+        gaps[1:] -= s_local[:-1]
+        gaps[run_starts] = s_local[run_starts]
+        doc_sizes = varint_sizes(gaps)
+        doc_stream = varint_encode(gaps)
+        doc_cum = np.concatenate([[0], np.cumsum(doc_sizes)])
+        tf64 = s_tf.astype(np.uint64)
+        tf_sizes = varint_sizes(tf64)
+        tf_stream = varint_encode(tf64)
+        tf_cum = np.concatenate([[0], np.cumsum(tf_sizes)])
+
+        def _binary_runs(stream: bytes, cum: np.ndarray, bounds: np.ndarray):
+            """LargeBinaryArray of per-run slices — one offsets buffer, the
+            stream as the shared data buffer (no per-run bytes objects)."""
+            offs = cum[np.append(bounds, npost)].astype(np.int64)
+            return pa.Array.from_buffers(
+                pa.large_binary(),
+                len(bounds),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(stream)],
             )
-            if has_pos:
-                idxs = order[lo:hi]
-                run_pos = np.concatenate(
-                    [pos_flat[pcum[j] : pcum[j + 1]] for j in idxs]
-                ).astype(np.uint64)
-                bounds = np.cumsum(tf_run.astype(np.int64))
-                starts_idx = np.concatenate([[0], bounds[:-1]])
-                gaps = run_pos.copy()
-                gaps[1:] -= run_pos[:-1]
-                gaps[starts_idx] = run_pos[starts_idx]
-                out["pos_blob"].append(varint_encode(gaps))
-            else:
-                out["pos_blob"].append(b"")
-            out["segment_id"].append(seg)
-            out["term_code"].append(int(s_code[lo]))
-            out["first_local"].append(int(local[0]))
-            out["df"].append(hi - lo)
-            out["cf"].append(int(tf_run.sum()))
-            out["max_tf"].append(int(tf_run.max()))
-            out["doc_blob"].append(dblob)
-            out["tf_blob"].append(tblob)
-            out["blk_first"].append(bf)
-            out["blk_n"].append(bn)
-            out["blk_max_tf"].append(bmt)
-            out["blk_min_dl"].append(bmd)
-            out["blk_doc_off"].append(bdo)
-            out["blk_tf_off"].append(bto)
-        if not out["segment_id"]:
-            return _empty_subblock_table()
-        term_strs = pc.take(vocab, pa.array(out["term_code"], type=pa.int64()))
+
+        # per-run stats (reduceat over the whole batch)
+        run_cf = np.add.reduceat(s_tf.astype(np.int64), run_starts)
+        run_max_tf = np.maximum.reduceat(s_tf, run_starts)
+
+        # per-block flat stats: every run start is a block start, blocks are
+        # block_size-aligned WITHIN each run
+        run_id = np.repeat(np.arange(n_runs), run_len)
+        pos_in_run = np.arange(npost, dtype=np.int64) - run_starts[run_id]
+        blk_start_idx = np.flatnonzero(pos_in_run % block_size == 0)
+        blk_end_idx = np.append(blk_start_idx[1:], npost)
+        blk_run_id = run_id[blk_start_idx]
+        blk_first = s_local[blk_start_idx].astype(np.int32)
+        blk_n = (blk_end_idx - blk_start_idx).astype(np.int32)
+        blk_max_tf = np.maximum.reduceat(s_tf, blk_start_idx).astype(np.int32)
+        blk_min_dl = np.minimum.reduceat(s_dl, blk_start_idx).astype(np.int32)
+        blk_doc_off = (doc_cum[blk_start_idx] - doc_cum[run_starts][blk_run_id]).astype(np.int32)
+        blk_tf_off = (tf_cum[blk_start_idx] - tf_cum[run_starts][blk_run_id]).astype(np.int32)
+        # list offsets: blocks per run
+        blocks_per_run = np.bincount(blk_run_id, minlength=n_runs)
+        blk_list_off = pa.array(
+            np.concatenate([[0], np.cumsum(blocks_per_run)]).astype(np.int32)
+        )
+
+        def _blk_list(values: np.ndarray):
+            return pa.ListArray.from_arrays(blk_list_off, pa.array(values))
+
+        if has_pos:
+            # gather per-posting position slices in sorted-posting order
+            p_start = pcum[order]
+            p_len = flat_tfs[order].astype(np.int64)
+            total_pos = int(p_len.sum())
+            out_off = np.concatenate([[0], np.cumsum(p_len)])
+            gidx = np.repeat(p_start - out_off[:-1], p_len) + np.arange(total_pos)
+            pos_sorted = pos_flat[gidx].astype(np.uint64)
+            # delta within each posting, absolute at posting starts
+            posting_starts = out_off[:-1][p_len > 0]
+            pgaps = pos_sorted.copy()
+            pgaps[1:] -= pos_sorted[:-1]
+            pgaps[posting_starts] = pos_sorted[posting_starts]
+            pos_sizes = varint_sizes(pgaps)
+            pos_stream = varint_encode(pgaps)
+            pos_cum_bytes = np.concatenate([[0], np.cumsum(pos_sizes)])
+            # run boundaries in position space: positions of run_starts in
+            # posting space -> byte offsets
+            run_pos_bounds = out_off[run_starts]
+            pos_offs = np.append(
+                pos_cum_bytes[run_pos_bounds], pos_cum_bytes[-1]
+            ).astype(np.int64)
+            pos_blob_arr = pa.Array.from_buffers(
+                pa.large_binary(),
+                n_runs,
+                [None, pa.py_buffer(pos_offs.tobytes()), pa.py_buffer(pos_stream)],
+            )
+        else:
+            pos_blob_arr = pa.array([b""] * n_runs, type=pa.large_binary())
+
+        term_strs = pc.take(vocab, pa.array(s_code[run_starts], type=pa.int64()))
         return pa.Table.from_arrays(
             [
-                pa.array(out["segment_id"], type=pa.int64()),
+                pa.array(s_seg[run_starts], type=pa.int64()),
                 term_strs,
-                pa.array(out["first_local"], type=pa.int64()),
-                pa.array(out["df"], type=pa.int64()),
-                pa.array(out["cf"], type=pa.int64()),
-                pa.array(out["max_tf"], type=pa.int32()),
-                pa.array(out["doc_blob"], type=pa.large_binary()),
-                pa.array(out["tf_blob"], type=pa.large_binary()),
-                pa.array(out["blk_first"], type=pa.list_(pa.int32())),
-                pa.array(out["blk_n"], type=pa.list_(pa.int32())),
-                pa.array(out["blk_max_tf"], type=pa.list_(pa.int32())),
-                pa.array(out["blk_min_dl"], type=pa.list_(pa.int32())),
-                pa.array(out["blk_doc_off"], type=pa.list_(pa.int32())),
-                pa.array(out["blk_tf_off"], type=pa.list_(pa.int32())),
-                pa.array(out["pos_blob"], type=pa.large_binary()),
+                pa.array(s_local[run_starts].astype(np.int64), type=pa.int64()),
+                pa.array(run_len, type=pa.int64()),
+                pa.array(run_cf, type=pa.int64()),
+                pa.array(run_max_tf.astype(np.int32), type=pa.int32()),
+                _binary_runs(doc_stream, doc_cum, run_starts),
+                _binary_runs(tf_stream, tf_cum, run_starts),
+                _blk_list(blk_first),
+                _blk_list(blk_n),
+                _blk_list(blk_max_tf),
+                _blk_list(blk_min_dl),
+                _blk_list(blk_doc_off),
+                _blk_list(blk_tf_off),
+                pos_blob_arr,
             ],
             names=_SUBBLOCK_NAMES,
         )
@@ -605,6 +656,74 @@ def _empty_subblock_table() -> pa.Table:
     )
 
 
+@ray.remote
+def _ts_local_combine(table: pa.Table, nparts: int) -> list[pa.Table]:
+    """Per-block combine + hash partition: pyarrow C++ hash-aggregate the
+    block's (term, df, cf), then split by crc32(term) % nparts. Returns one
+    sub-table per partition."""
+    import zlib
+
+    agg = (
+        table.select(["term", "df", "cf"])
+        .group_by(["term"])
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .rename_columns(["term", "gdf", "gcf"])
+    )
+    terms = agg["term"].to_pylist()
+    part = np.fromiter(
+        (zlib.crc32(t.encode()) % nparts for t in terms),
+        dtype=np.int64,
+        count=len(terms),
+    )
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = agg.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(nparts + 1))
+    return [
+        sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+        for p in range(nparts)
+    ]
+
+
+@ray.remote
+def _ts_merge_partition(*tables: pa.Table) -> pa.Table:
+    parts = [t for t in tables if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "gdf": pa.array([], type=pa.int64()),
+                "gcf": pa.array([], type=pa.int64()),
+            }
+        )
+    return (
+        pa.concat_tables(parts)
+        .group_by(["term"])
+        .aggregate([("gdf", "sum"), ("gcf", "sum")])
+        .rename_columns(["term", "gdf", "gcf"])
+    )
+
+
+def _hash_agg_term_stats(skinny, shuffle_partitions: int | None):
+    """Global (term -> df, cf) aggregate as an explicit Arrow-kernel hash
+    shuffle: per-block pyarrow hash-aggregate (combiner) -> crc32-of-term
+    partitioning -> per-partition merge tasks. Replaces Ray's sort-based
+    string groupby, which costs ~10s per 600K skinny rows on a realistic
+    (Zipfian) vocabulary — ~20x slower than this shape. Only pre-combined
+    skinny stats move; partition count bounds reducer fan-in."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(shuffle_partitions or 32, cpus))
+    refs = skinny.to_arrow_refs()
+    per_block = [
+        _ts_local_combine.options(num_returns=nparts).remote(r, nparts)
+        for r in refs
+    ]
+    merged = [
+        _ts_merge_partition.remote(*[blk[p] for blk in per_block])
+        for p in range(nparts)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
 def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None,
                     term_counts: dict[int, int] | None = None) -> dict[int, int]:
     """Global df/cf per term + per-segment termstats sidecars from the skinny
@@ -613,17 +732,7 @@ def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None,
     once, read per task, vectorized `pc.index_in` hash lookup) below a vocab
     cap, or a distributed hash join above it. Returns per-segment posting-run
     row counts (manifest metadata), computed as narrow map partials."""
-    from ray.data.aggregate import Sum
-
-    global_stats = (
-        skinny.groupby("term", num_partitions=shuffle_partitions)
-        .aggregate(Sum("df"), Sum("cf"))
-        .map_batches(
-            lambda b: b.rename_columns(["term", "gdf", "gcf"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    global_stats = _hash_agg_term_stats(skinny, shuffle_partitions)
     vocab_size = global_stats.count()
     if vocab_size <= BROADCAST_VOCAB_LIMIT:
         blocks = [t for t in ray.get(global_stats.to_arrow_refs()) if t.num_rows]

@@ -232,7 +232,13 @@ class LocalSearcher:
                 )
                 if chosen.size == 0:
                     continue
-                ords, tfs = reader.decode_blocks(term, chosen, meta)
+                if chosen.size * 4 >= bf.size:
+                    # candidates hit most blocks: one vectorized full-list
+                    # decode beats per-block decoding (which goes block-by-
+                    # block in Python) — measured 3x on Zipfian head terms
+                    ords, tfs = reader.postings(term)
+                else:
+                    ords, tfs = reader.decode_blocks(term, chosen, meta)
                 term_data[term] = (ords, tfs, w)
                 mask = touched[ords]
                 o2, t2 = ords[mask], tfs[mask]

@@ -181,6 +181,102 @@ def generate_transcripts(
     )
 
 
+def generate_zipf_transcripts(
+    num_turns: int,
+    vocab_size: int = 500_000,
+    s: float = 1.0,
+    seed: int = 77,
+    min_len: int = 3,
+    max_len: int = 60,
+) -> pa.Table:
+    """Zipfian-vocabulary transcripts for realistic pruning/vocab benchmarks:
+    terms 't<rank>' drawn from a rank^-s law over `vocab_size` terms. The
+    34-term default corpus gives block-max pruning nothing to prune; this is
+    the corpus the MaxScore/WAND path is validated and measured on."""
+    rng = np.random.default_rng(seed)
+    n = num_turns
+    idx = np.arange(n, dtype=np.int64)
+    conv_ids = np.char.add(
+        "conv-", np.char.zfill((idx // TURNS_PER_CONV).astype(str), 6)
+    )
+    turn_idxs = (idx % TURNS_PER_CONV).astype(np.int32)
+    roles = np.asarray(_ROLES, dtype=object)[idx % 4]
+    tools = np.where(idx % 4 == 2, "search", "")
+    tss = 1767225600_000000 + idx * 1_000_000
+
+    probs = 1.0 / np.power(np.arange(1, vocab_size + 1, dtype=np.float64), s)
+    cum = np.cumsum(probs)
+    cum /= cum[-1]
+    lens = rng.integers(min_len, max_len + 1, size=n)
+    total = int(lens.sum())
+    ranks = np.searchsorted(cum, rng.random(total), side="left")
+    vocab = np.char.add("t", np.char.zfill(ranks.astype(str), 7))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [
+        " ".join(vocab[offs[i] : offs[i + 1]].tolist()) for i in range(n)
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv_ids.tolist()),
+            pa.array(turn_idxs, type=pa.int32()),
+            pa.array(roles.tolist()),
+            pa.array(texts),
+            pa.array(tools.tolist()),
+            pa.array(tss, type=pa.timestamp("us")),
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def _write_zipf_shard(args) -> str:
+    path, shard, n, seed, vocab_size, s = args
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = generate_zipf_transcripts(n, vocab_size=vocab_size, s=s,
+                                  seed=seed + shard)
+    conv = pc.binary_join_element_wise(
+        pa.array([f"s{shard:04d}-"] * len(t)), t["conv_id"].combine_chunks(), ""
+    )
+    t = t.set_column(0, "conv_id", conv)
+    out = os.path.join(path, f"part-{shard:05d}.parquet")
+    pq.write_table(t, out, row_group_size=8192)
+    return out
+
+
+def write_zipf_corpus(
+    path: str,
+    num_turns: int,
+    vocab_size: int = 500_000,
+    s: float = 1.0,
+    seed: int = 77,
+    rows_per_file: int = 100_000,
+) -> str:
+    """Multi-file Zipfian-vocabulary corpus (see generate_zipf_transcripts);
+    seed-deterministic, shards generated in parallel processes."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    jobs = []
+    shard = 0
+    for start in range(0, num_turns, rows_per_file):
+        jobs.append(
+            (path, shard, min(rows_per_file, num_turns - start), seed,
+             vocab_size, s)
+        )
+        shard += 1
+    if len(jobs) <= 1:
+        for j in jobs:
+            _write_zipf_shard(j)
+        return path
+    workers = min(16, os.cpu_count() or 4, len(jobs))
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_write_zipf_shard, jobs))
+    return path
+
+
 def _write_shard(args) -> str:
     path, shard, n, seed = args
     import os

@@ -188,7 +188,114 @@ def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
     return out
 
 
+ZIPF_TURNS = int(os.environ.get("GRAFT_ZIPF_TURNS", "1000000"))
+ZIPF_VOCAB = int(os.environ.get("GRAFT_ZIPF_VOCAB", "500000"))
+
+
+def run_zipf_bench(num_cpus: int) -> dict:
+    """Zipfian-vocabulary retrieval bench: the 34-term default corpus gives
+    block-max pruning nothing to prune, so MaxScore wins (and pruned ==
+    exhaustive correctness) are measured here on a 500K-term rank^-1 vocab.
+    Reports batch-query throughput with pruning off/on and verifies the two
+    paths return IDENTICAL (docid, score) rankings for every query."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.sources.transcripts import write_zipf_corpus
+
+    corpus_dir = f"/tmp/anserini_ray_zipf_{ZIPF_TURNS}_{ZIPF_VOCAB}"
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        write_zipf_corpus(corpus_dir, ZIPF_TURNS, vocab_size=ZIPF_VOCAB,
+                          rows_per_file=125_000)
+    corpus_files = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+    )
+    index_dir = f"/tmp/anserini_ray_zipf_idx_{ZIPF_TURNS}_{ZIPF_VOCAB}"
+    t0 = time.perf_counter()
+    if not os.path.isdir(os.path.join(index_dir, "manifests")):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(
+            index_dir=index_dir,
+            config=IndexConfig(seg_shift=17, assume_sorted=True),
+            input_paths=corpus_files,
+            total_input=ZIPF_TURNS,
+        )
+    build_sec = time.perf_counter() - t0
+
+    # query mix over the rank spectrum: head (top-100), torso (1K-10K),
+    # tail (~100K) — each query pairs ranks so MaxScore has low-impact
+    # clauses to skip. Terms are 't%07d' by Zipf rank (0-based).
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    queries = []
+    for i in range(60):
+        head = int(rng.integers(0, 100))
+        torso = int(rng.integers(1_000, 10_000))
+        tail = int(rng.integers(100_000, ZIPF_VOCAB))
+        if i % 3 == 0:
+            terms = [head, torso]
+        elif i % 3 == 1:
+            terms = [head, torso, tail]
+        else:
+            terms = [torso, tail]
+        queries.append(" ".join(f"t{r:07d}" for r in terms))
+
+    mismatch = 0
+    qstats = {"build_sec": round(build_sec, 2)}
+    for k in (10, 100, 1000):
+        results = {}
+        timings = {}
+        for label, prune in (("exhaustive", False), ("pruned", True)):
+            s = LocalSearcher(index_dir, prune=prune)
+            s.search(queries[0], k=k)  # warm (mmap + postings cache)
+            t0 = time.perf_counter()
+            out = [s.search(q, k=k) for q in queries]
+            timings[label] = time.perf_counter() - t0
+            results[label] = out
+        for (d_a, s_a), (d_b, s_b) in zip(
+            results["exhaustive"], results["pruned"]
+        ):
+            if d_a != d_b or list(map(float, s_a)) != list(map(float, s_b)):
+                mismatch += 1
+        qstats[f"exhaustive_qps_k{k}"] = round(
+            len(queries) / timings["exhaustive"], 2
+        )
+        qstats[f"pruned_qps_k{k}"] = round(len(queries) / timings["pruned"], 2)
+        qstats[f"pruning_speedup_k{k}"] = round(
+            timings["exhaustive"] / timings["pruned"], 2
+        )
+    out = {
+        "metric": "zipf-vocab batch query throughput (pruned q/s, k=10)",
+        "value": qstats["pruned_qps_k10"],
+        "unit": "q/s",
+        "queries": qstats,
+        "sf": corpus_dir,
+        "num_cpus": num_cpus,
+        "turns": ZIPF_TURNS,
+        "vocab": ZIPF_VOCAB,
+        "pruned_vs_exhaustive_mismatches": mismatch,
+    }
+    ray.shutdown()
+    if mismatch:
+        raise AssertionError(
+            f"pruned != exhaustive on {mismatch} query runs"
+        )
+    return out
+
+
 def main():
+    if "--zipf" in sys.argv:
+        print(json.dumps(run_zipf_bench(NUM_CPUS)))
+        return
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_FROM", "4"))
         hi = int(os.environ.get("GRAFT_SCALE_TO", "16"))
