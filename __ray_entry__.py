@@ -157,6 +157,73 @@ def _exhaustive_f64_topk(sf_dir: str, sim: str, k: int = 10):
     )
 
 
+def _bm25_f64_scores(s, text: str) -> dict[str, float]:
+    """Float64 BM25 scores for every doc matching >=1 analyzed query term,
+    from the index's own postings/termstats/byte4 norms (the oracle-grade
+    scoring shared by the engine-entry rescorers)."""
+    import math
+
+    import numpy as np
+
+    N = s.manifest.doc_count
+    C = s.manifest.sum_total_tf
+    avgdl = C / N
+    k1, b = 0.9, 0.4
+    scores: dict[str, float] = {}
+    for term, cnt in s._clauses(text):
+        gdf = s._global_df(term)
+        if gdf <= 0:
+            continue
+        idf = math.log(1 + (N - gdf + 0.5) / (gdf + 0.5))
+        for r in s.readers:
+            post = r.postings(term)
+            if post is None:
+                continue
+            ords, tfs = post
+            qdl = r.score_dl_lucene[ords].astype(np.float64)
+            tf64 = tfs.astype(np.float64)
+            contrib = cnt * idf * tf64 / (tf64 + k1 * (1 - b + b * qdl / avgdl))
+            for d, c in zip(r.doc_id_strings(r.dense_of_raw(ords)), contrib):
+                scores[d] = scores.get(d, 0.0) + float(c)
+    return scores
+
+
+def _phrase_topk(sf_dir: str, k: int = 10):
+    """Exact-phrase retrieval: matched docs from the engine's positional
+    phrase walk (slop=0), scores recomputed in float64 under the same
+    (round4 desc, docid asc) ranking as the SQL oracle; cross-asserts the
+    f32 phrase scorer."""
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    out_rows = []
+    for qid, text in SIMPLE_QUERIES:
+        matched, _ = s.phrase_search(text, k=100_000, adjust_ties=False)
+        if not matched:
+            continue
+        scores = _bm25_f64_scores(s, text)
+        cands = sorted(
+            ((round(scores[d], 4), d) for d in matched),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        f32_docs, _ = s.phrase_search(text, k=k, adjust_ties=False)
+        _assert_f32_consistent(f32_docs, scores, cands, f"{qid!r} (phrase)")
+        for rank, (sc, d) in enumerate(cands):
+            out_rows.append((qid, rank + 1, d, sc))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 def _engine_run(sf_dir: str, k: int = 10):
     """BM25 top-k over the built index for the benchmark query set. The
     float32 Lucene-parity actor-pool path (Searcher.batch_search) runs
@@ -494,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": TD.fingerprints,
         "minhash_dedup": TD.minhash_dedup,
         "embedding_near_dup": TD.embedding_near_dup,
+        "decontaminate": TD.decontaminate,
+        "hash_split": TD.hash_split,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
@@ -504,7 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
         "bm25_rm3": lambda sf: _mode_run(sf, "rm3"),
         "bm25_prf": lambda sf: _mode_run(sf, "prf"),
-        "phrase_topk": lambda sf: _mode_run(sf, "phrase"),
+        "phrase_topk": _phrase_topk,
         "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
         "bm25_axiom": lambda sf: _mode_run(sf, "axiom"),
         "qld_topk": lambda sf: _exhaustive_f64_topk(sf, "qld"),
@@ -546,6 +615,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": TD.MINHASH_DEDUP_SQL,
         "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
         # round-3 oracle flips
+        "decontaminate": TD.DECONTAMINATE_SQL,
+        "hash_split": TD.HASH_SPLIT_SQL,
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,
         # degenerate-exact ANN configs (recall provably 1) share the exact
@@ -559,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "index_top_df_terms": S.index_top_df_terms_sql(),
         "bm25_topk_engine": S.bm25_topk_engine_sql(),
         "qld_topk": S.qld_topk_engine_sql(),
+        "phrase_topk": S.phrase_topk_engine_sql(),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

@@ -522,6 +522,83 @@ def qld_topk_engine_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
     )
 
 
+def phrase_topk_engine_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
+    """Exact-phrase retrieval mirror: docs whose ANALYZED terms occur at
+    consecutive original-token positions (stopwords consume positions, like
+    Lucene position increments), BM25-scored over the phrase terms (float64,
+    byte4 dl) — the SQL twin of `LocalSearcher.phrase_search(slop=0)`."""
+    from ..analysis.analyzer import make_analyzer
+
+    an = make_analyzer()
+    arms = []
+    clause_rows = []
+    for qid, text in queries:
+        terms = an.analyze(text)
+        if not terms:
+            continue
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        clause_rows.extend((qid, t, c) for t, c in counts.items())
+        joins = []
+        for i, t in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN stoks s{i} ON s{i}.doc_id = s0.doc_id "
+                f"AND s{i}.pos = s0.pos + {i} AND s{i}.term = '{t}'"
+            )
+        arms.append(
+            f"SELECT DISTINCT {qid} AS qid, s0.doc_id FROM stoks s0 "
+            + " ".join(joins)
+            + f" WHERE s0.term = '{terms[0]}'"
+        )
+    values = ", ".join(f"({q}, '{t}', {c})" for q, t, c in clause_rows)
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f""",
+  pwords AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS wl
+    FROM docs
+  ),
+  prtoks AS (
+    SELECT doc_id, wl[i] AS word, i AS pos
+    FROM pwords, unnest(generate_series(1, len(wl))) AS u(i)
+  ),
+  stoks AS (
+    SELECT r.doc_id, s.term, r.pos FROM prtoks r JOIN stem s ON r.word = s.word
+  ),
+  matched AS ({' UNION ALL '.join(arms)}),
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  scores AS (
+    SELECT q.qid, atf.doc_id,
+           sum(q.cnt * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS score
+    FROM q
+    JOIN atf ON q.term = atf.term
+    JOIN matched m ON m.qid = q.qid AND m.doc_id = atf.doc_id
+    JOIN gdf ON gdf.term = q.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, atf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM scores
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 

@@ -518,6 +518,77 @@ SLR_TOPK_SQL = f"""
 """
 
 
+# -------------------------------------------------------- corpus operators
+def decontaminate(sf_dir: str):
+    """Benchmark decontamination over the documents table: the 'benchmark'
+    is a deterministic slice of the corpus itself (every doc_id % 97 == 0),
+    so contaminated == exact-duplicate-or-shingle-overlapping docs of that
+    slice — fully SQL-mirrorable."""
+    import pyarrow.parquet as pq
+
+    from ..stages.corpus_ops import decontaminate as _dec
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    mask = np.asarray(t["doc_id"].to_numpy() % 97 == 0)
+    bench_texts = [
+        x for x, m in zip(t["text"].to_pylist(), mask) if m
+    ]
+    return _dec(_docs(sf_dir, ["doc_id", "text"]), bench_texts, n=3)
+
+
+DECONTAMINATE_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS wl
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(wl) < 3 THEN [array_to_string(wl, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(wl) - 2),
+                         i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+             END AS s
+      FROM w WHERE len(wl) > 0
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+    ),
+    ov AS (
+      SELECT t.doc_id, CAST(count(bench.g) AS BIGINT) AS n_overlap
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) t
+      LEFT JOIN bench ON t.g = bench.g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_overlap, n_overlap >= 1 AS contaminated FROM ov
+"""
+
+
+def hash_split(sf_dir: str):
+    """Deterministic 80/10/10 split by md5(doc_id) byte (SQL-mirrorable)."""
+    from ..stages.corpus_ops import hash_split as _split
+
+    return _split(_docs(sf_dir, ["doc_id"]))
+
+
+HASH_SPLIT_SQL = """
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+
 # ------------------------------------------------- events windowed aggregate
 def events_windowed(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + sum(value) (the

@@ -1,0 +1,64 @@
+"""Decontamination + deterministic hash split (stages/corpus_ops.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    from anserini_ray.stages.corpus_ops import decontaminate
+
+    docs = _ds(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps",   # shares shingles with bench
+                "completely different words here now",
+                "quick brown fox somewhere else",  # shares 'quick brown fox'
+                "",                            # empty -> 0 overlap
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in decontaminate(
+        docs, ["the quick brown fox ran"], n=3
+    ).take_all()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["contaminated"]  # 'quick brown fox' shingle shared
+    assert not out[4]["contaminated"]
+    assert len(out) == 4
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    from anserini_ray.stages.corpus_ops import hash_split
+
+    n = 5000
+    docs = _ds({"doc_id": list(range(n))})
+    rows = hash_split(docs).take_all()
+    assert len(rows) == n
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], 0)
+        by_split[r["split"]] += 1
+        # bucket matches an independent md5 computation
+        expect = int.from_bytes(
+            hashlib.md5(str(r["doc_id"]).encode()).digest()[:2], "big"
+        ) % 100
+        assert r["bucket"] == expect
+        assert r["split"] == (
+            "train" if expect < 80 else "val" if expect < 90 else "test"
+        )
+    # proportions roughly 80/10/10
+    assert abs(by_split["train"] / n - 0.80) < 0.03
+    assert abs(by_split["val"] / n - 0.10) < 0.02
+    assert abs(by_split["test"] / n - 0.10) < 0.02
+    # rerun identical (determinism across executions)
+    rows2 = hash_split(docs).take_all()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
