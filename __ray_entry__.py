@@ -314,13 +314,22 @@ def _mode_run(sf_dir: str, mode: str, k: int = 10):
     )
 
 
-def _ann_fake_words(sf_dir: str):
+def _ann_fake_words(sf_dir: str, k: int = 5):
     """Dense-vector retrieval through the inverted-index engine via
-    fake-words encoding (reference J/ann/fw) + Classic TF-IDF."""
+    fake-words encoding (reference J/ann/fw) + Classic TF-IDF. Oracle-grade
+    output: scores recomputed in float64 from the fake-words index's own
+    postings/df/byte4 norms under (round4 desc, docid asc) ranking — the
+    DuckDB mirror reproduces the int(v*80) quantization, byte4 dl and the
+    ClassicSimilarity formula; the f32 engine path is cross-asserted."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
     import ray.data
 
     from anserini_ray.pipelines.training_data import _query_vectors
-    from anserini_ray.stages.ann import build_fake_words_index, fake_words_topk
+    from anserini_ray.search import LocalSearcher
+    from anserini_ray.stages.ann import build_fake_words_index, fake_words_text
     from anserini_ray.state import IndexManifest
 
     files = [os.path.join(sf_dir, "embeddings.parquet")]
@@ -331,7 +340,50 @@ def _ann_fake_words(sf_dir: str):
     except FileNotFoundError:
         ds = ray.data.read_parquet(files[0], columns=["vec_id", "embedding"])
         build_fake_words_index(ds, index_dir, input_files=files)
-    return fake_words_topk(index_dir, _query_vectors(sf_dir), k=5)
+    s = LocalSearcher(index_dir, similarity="classic")
+    N = s.manifest.doc_count
+    out_rows = []
+    for qi, vec in enumerate(_query_vectors(sf_dir)):
+        qtext = fake_words_text(vec)
+        scores: dict[str, float] = {}
+        for term, cnt in s._clauses(qtext):
+            gdf = s._global_df(term)
+            if gdf <= 0:
+                continue
+            idf = 1.0 + math.log(N / (gdf + 1.0))
+            for r in s.readers:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                qdl = np.maximum(
+                    r.score_dl_lucene[ords].astype(np.float64), 1.0
+                )
+                contrib = (
+                    cnt * np.sqrt(tfs.astype(np.float64)) * idf * idf
+                    / np.sqrt(qdl)
+                )
+                for d, c in zip(
+                    r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                ):
+                    scores[d] = scores.get(d, 0.0) + float(c)
+        cands = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        if cands:
+            f32_docs, _ = s.search(qtext, k=k, adjust_ties=False)
+            _assert_f32_consistent(f32_docs, scores, cands, f"fw q{qi}")
+        for rank, (sc, d) in enumerate(cands):
+            out_rows.append((qi, rank + 1, d, sc))
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
 
 
 def _slr_topk(sf_dir: str):
@@ -626,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         # analyzed-index oracles: the fixed 31-word corpus vocabulary makes
         # the Porter-analyzed term space a static (word, stem) VALUES map
         "slr_topk": TD.SLR_TOPK_SQL,
+        "ann_fake_words": TD.ANN_FAKE_WORDS_SQL,
         "index_term_stats": S.index_term_stats_sql(),
         "index_top_df_terms": S.index_top_df_terms_sql(),
         "bm25_topk_engine": S.bm25_topk_engine_sql(),

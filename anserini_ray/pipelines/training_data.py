@@ -518,6 +518,57 @@ SLR_TOPK_SQL = f"""
 """
 
 
+# --- fake-words ANN SQL mirror: int(v*80) quantization (trunc toward zero,
+# so negatives drop), analyzed dl = sum of quantized tfs, byte4-quantized
+# norm, ClassicSimilarity sqrt(tf)*idf^2/sqrt(dl) with idf = 1+ln(N/(df+1)).
+ANN_FAKE_WORDS_SQL = f"""
+    WITH de AS (
+      SELECT vec_id, i,
+             CAST(trunc(CAST(embedding[i] AS DOUBLE) * 80) AS INTEGER) AS tf
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    doc AS (SELECT vec_id, i, tf FROM de WHERE tf >= 1),
+    dl AS (SELECT vec_id, CAST(sum(tf) AS BIGINT) AS dl FROM doc GROUP BY 1),
+    qdl AS (
+      SELECT vec_id, dl,
+             CAST(CASE WHEN dl < 40 THEN dl
+                       ELSE dl - ((dl - 24) %
+                            CAST(pow(2, floor(log2(dl - 24)) - 3) AS BIGINT))
+                  END AS DOUBLE) AS q
+      FROM dl
+    ),
+    stats AS (SELECT count(*) AS n FROM dl),
+    df AS (SELECT i, count(*) AS df FROM doc GROUP BY i),
+    q AS (
+      SELECT vec_id AS qid, i, tf AS qtf FROM doc
+      WHERE vec_id IN {ANN_QUERY_IDS}
+    ),
+    scores AS (
+      SELECT q.qid, d.vec_id,
+             round(sum(q.qtf * sqrt(d.tf)
+                       * pow(1 + ln(s.n / (df.df + 1.0)), 2)
+                       / sqrt(greatest(qdl.q, 1.0))), 4) AS score
+      FROM q
+      JOIN doc d ON d.i = q.i
+      JOIN df ON df.i = q.i
+      JOIN qdl ON qdl.vec_id = d.vec_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scores
+    )
+    SELECT CAST(qid AS INTEGER) AS query_idx, CAST(rank AS INTEGER) AS rank,
+           'vec-' || lpad(CAST(vec_id AS VARCHAR), 10, '0') || ':0' AS doc_id,
+           score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_idx, rank
+"""
+
+
 # -------------------------------------------------------- corpus operators
 def decontaminate(sf_dir: str):
     """Benchmark decontamination over the documents table: the 'benchmark'

@@ -19,6 +19,7 @@ from .topics import (
 from .car_collection import parse_car_paragraphs, read_car_collection
 from .covid_collections import covid_facets, parse_covid_metadata, read_covid_collection
 from .html_collection import parse_html_archive, read_html_collection
+from .transform import identity_transform, jsoup_string_transform
 from .qrels import Qrels, parse_qrels_lines, read_qrels
 from .trec_collection import read_trec_collection
 from .web_collections import (

@@ -370,3 +370,21 @@ def test_json_collection_reference_fixtures():
     # error fixtures: missing id/contents records are skipped, not fatal
     for f in ("id_missing.json", "contents_missing.json"):
         assert parse_json_docs(open(f"{base}/collection_errors/{f}").read()) == []
+
+
+def test_jsoup_string_transform():
+    from anserini_ray.sources.transform import (
+        identity_transform,
+        jsoup_string_transform,
+    )
+
+    html_doc = (
+        "<html><head><title>T</title><style>body{x:1}</style>"
+        "<script>var a = '<b>';</script></head>"
+        "<body><h1>Hello&nbsp;World</h1><!-- note -->"
+        "<p>line one</p><p>line &amp; two</p></body></html>"
+    )
+    assert jsoup_string_transform(html_doc) == "T Hello World line one line & two"
+    assert jsoup_string_transform("") == ""
+    assert jsoup_string_transform("plain text") == "plain text"
+    assert identity_transform("<b>x</b>") == "<b>x</b>"
