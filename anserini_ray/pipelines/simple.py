@@ -24,6 +24,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..sources.transcripts import transcripts_from_documents
+from ..stages.hashagg import hash_aggregate
 
 
 def simple_tokens(text: str) -> list[str]:
@@ -78,17 +79,21 @@ def exploded_terms(sf_dir: str):
 
 # ------------------------------------------------------------------ queries
 def term_df_cf(sf_dir: str):
-    """Per-term document frequency + collection frequency."""
+    """Per-term document frequency + collection frequency (Arrow-kernel
+    hash aggregate — per-block combine, crc32 partition, per-partition
+    merge; see stages/hashagg.py)."""
     ds = exploded_terms(sf_dir)
-    agg = ds.groupby("term").aggregate(Count(), Sum("tf"))
-    return agg.rename_columns(["term", "df", "cf"])
+    return hash_aggregate(
+        ds, ["term"], [("count", None), ("sum", "tf")], ["df", "cf"]
+    )
 
 
 def doc_lengths(sf_dir: str):
-    """Per-doc token count (ExtractDocumentLengths analog)."""
+    """Per-doc token count (ExtractDocumentLengths analog); hash-aggregated
+    (500K string keys at sf0.1 — the sort-based groupby shape Ray would
+    otherwise use is the measured bottleneck)."""
     ds = exploded_terms(sf_dir)
-    agg = ds.groupby("doc_id").aggregate(Sum("tf"))
-    return agg.rename_columns(["doc_id", "dl"])
+    return hash_aggregate(ds, ["doc_id"], [("sum", "tf")], ["dl"])
 
 
 def top_terms(sf_dir: str, k: int = 50):
@@ -150,6 +155,63 @@ def query_clauses_sql_values(queries=SIMPLE_QUERIES) -> str:
     )
 
 
+def _rank_topk(scored, k: int):
+    """(qid, doc_id, score) Dataset -> per-qid top-k ranked table.
+    Rows are unique per (qid, doc_id) after the hash aggregate, so each
+    block emits its own top-k per qid (round4 desc, doc asc) and the
+    driver merges k x nparts candidate rows — no qid sort shuffle."""
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int32()),
+                    pa.array([], type=pa.string()),
+                    pa.array([], type=pa.float64()),
+                ],
+                names=["qid", "doc_id", "score"],
+            )
+        qids = batch["qid"].to_numpy()
+        docs = batch["doc_id"].to_pylist()
+        sc = np.round(batch["score"].to_numpy(), 4)
+        keep = []
+        for q in np.unique(qids):
+            rows = np.flatnonzero(qids == q)
+            rows = sorted(rows, key=lambda i: (-sc[i], docs[i]))[:k]
+            keep.extend(rows)
+        keep_arr = pa.array(np.asarray(keep, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch["qid"].take(keep_arr), pa.int32()),
+                batch["doc_id"].take(keep_arr),
+                pa.array(sc[keep], type=pa.float64()),
+            ],
+            names=["qid", "doc_id", "score"],
+        )
+
+    partials = scored.map_batches(block_topk, batch_format="pyarrow").take_all()
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(int(r["qid"]), []).append((r["doc_id"], r["score"]))
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for q in sorted(by_q):
+        cands = sorted(by_q[q], key=lambda x: (-x[1], x[0]))[:k]
+        for rank, (d, scv) in enumerate(cands):
+            out_q.append(q)
+            out_r.append(rank + 1)
+            out_d.append(d)
+            out_s.append(scv)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_q, type=pa.int32()),
+            pa.array(out_r, type=pa.int32()),
+            pa.array(out_d, type=pa.string()),
+            pa.array(out_s, type=pa.float64()),
+        ],
+        names=["qid", "rank", "doc_id", "score"],
+    )
+
+
 def bm25_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
     """Distributed batch BM25 (float64, whitespace tokens, k1=0.9 b=0.4) —
     the SQL-checkable mirror of the engine's scoring semantics.
@@ -162,11 +224,13 @@ def bm25_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
     set; postings never leave their batch unscored."""
     ds = exploded_terms(sf_dir).materialize()
 
-    # collection stats in ONE groupby job (count = rows, sum_dl via Max
-    # since dl repeats per exploded term row)
-    per_doc = ds.groupby("doc_id").aggregate(Max("dl")).materialize()
+    # collection stats via the Arrow hash aggregate (dl repeats per
+    # exploded term row -> max per doc), then two tiny reductions
+    per_doc = hash_aggregate(
+        ds, ["doc_id"], [("max", "dl")], ["dl"]
+    ).materialize()
     n_docs = per_doc.count()
-    sum_dl = per_doc.sum("max(dl)")
+    sum_dl = per_doc.sum("dl")
     avgdl = sum_dl / n_docs
     clauses = _query_clauses(queries)
     qterms = {t for _, t, _ in clauses}
@@ -225,34 +289,13 @@ def bm25_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
             names=["qid", "doc_id", "contrib"],
         )
 
-    scored = (
-        ds.map_batches(score_partial, batch_format="pyarrow")
-        .groupby(["qid", "doc_id"])
-        .aggregate(Sum("contrib"))
+    scored = hash_aggregate(
+        ds.map_batches(score_partial, batch_format="pyarrow"),
+        ["qid", "doc_id"],
+        [("sum", "contrib")],
+        ["score"],
     )
-
-    def topk_group(group: pa.Table) -> pa.Table:
-        scores = np.round(group["sum(contrib)"].to_numpy(), 4)
-        docs = group["doc_id"].to_pylist()
-        order = sorted(
-            range(len(docs)), key=lambda i: (-scores[i], docs[i])
-        )[:k]
-        return pa.Table.from_arrays(
-            [
-                group["qid"].take(pa.array(order)),
-                pa.array(list(range(1, len(order) + 1)), type=pa.int32()),
-                pa.array([docs[i] for i in order], type=pa.string()),
-                pa.array([float(scores[i]) for i in order], type=pa.float64()),
-            ],
-            names=["qid", "rank", "doc_id", "score"],
-        )
-
-    result = (
-        scored.groupby("qid")
-        .map_groups(topk_group, batch_format="pyarrow")
-        .sort(["qid", "rank"])
-    )
-    return result
+    return _rank_topk(scored, k)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -613,9 +656,11 @@ def qld_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
     scoring, one (qid, doc_id) groupby."""
     ds = exploded_terms(sf_dir).materialize()
 
-    per_doc = ds.groupby("doc_id").aggregate(Max("dl")).materialize()
+    per_doc = hash_aggregate(
+        ds, ["doc_id"], [("max", "dl")], ["dl"]
+    ).materialize()
     n_docs = per_doc.count()
-    sum_dl = per_doc.sum("max(dl)")
+    sum_dl = per_doc.sum("dl")
     clauses = _query_clauses(queries)
     qterms = {t for _, t, _ in clauses}
 
@@ -667,33 +712,13 @@ def qld_topk_simple(sf_dir: str, queries=SIMPLE_QUERIES, k: int = BM25_TOPK):
             names=["qid", "doc_id", "contrib"],
         )
 
-    scored = (
-        ds.map_batches(score_partial, batch_format="pyarrow")
-        .groupby(["qid", "doc_id"])
-        .aggregate(Sum("contrib"))
+    scored = hash_aggregate(
+        ds.map_batches(score_partial, batch_format="pyarrow"),
+        ["qid", "doc_id"],
+        [("sum", "contrib")],
+        ["score"],
     )
-
-    def topk_group(group: pa.Table) -> pa.Table:
-        scores = np.round(group["sum(contrib)"].to_numpy(), 4)
-        docs = group["doc_id"].to_pylist()
-        order = sorted(
-            range(len(docs)), key=lambda i: (-scores[i], docs[i])
-        )[:k]
-        return pa.Table.from_arrays(
-            [
-                group["qid"].take(pa.array(order)),
-                pa.array(list(range(1, len(order) + 1)), type=pa.int32()),
-                pa.array([docs[i] for i in order], type=pa.string()),
-                pa.array([float(scores[i]) for i in order], type=pa.float64()),
-            ],
-            names=["qid", "rank", "doc_id", "score"],
-        )
-
-    return (
-        scored.groupby("qid")
-        .map_groups(topk_group, batch_format="pyarrow")
-        .sort(["qid", "rank"])
-    )
+    return _rank_topk(scored, k)
 
 
 def qld_topk_simple_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
