@@ -224,6 +224,107 @@ def _phrase_topk(sf_dir: str, k: int = 10):
     )
 
 
+def _rm3_topk(sf_dir: str, k: int = 10, fb_terms: int = 10, fb_docs: int = 10,
+              orig_weight: float = 0.5):
+    """RM3 pseudo-relevance feedback with DETERMINISTIC tie-breaks, float64
+    throughout — the SQL-mirrorable variant of `LocalSearcher.search_rm3`:
+    feedback docs = top-10 first-pass docs by (raw f64 score desc, docid
+    asc); per-doc vectors pruned to 10 terms by (tf desc, term asc); the
+    relevance model pruned to 10 by (weight desc, term asc). Every input
+    (postings, docvecs, df, byte4 norms) comes from the real index; the
+    engine's own insertion-order-tie-break f32 path is oracle-tested in
+    tests/test_rm3.py. Output ranking (round4 desc, docid asc), scores
+    float64."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    N = s.manifest.doc_count
+    C = s.manifest.sum_total_tf
+    avgdl = C / N
+    k1, b = 0.9, 0.4
+    out_rows = []
+    for qid, text in SIMPLE_QUERIES:
+        clauses = s._clauses(text)
+        if not clauses:
+            continue
+        # round4 before feedback selection and weighting: kills float64
+        # summation-order noise between engines (docid asc breaks the
+        # resulting ties deterministically)
+        first = {d: round(sc, 4) for d, sc in _bm25_f64_scores(s, text).items()}
+        fb = sorted(first.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_docs]
+        # per-doc pruned vectors + L1 norms
+        rm: dict[str, float] = {}
+        for docid, score in fb:
+            dv = []
+            for term, tf in s.doc_vector(docid).items():
+                if not (2 <= len(term) <= 20) or not term.isalnum():
+                    continue
+                if s._global_df(term) / N > 0.1:
+                    continue
+                dv.append((term, float(tf)))
+            dv.sort(key=lambda x: (-x[1], x[0]))
+            dv = dv[:fb_terms]
+            norm = sum(w for _, w in dv)
+            if norm <= 0.001:
+                continue
+            for term, w in dv:
+                rm[term] = rm.get(term, 0.0) + (w / norm) * score
+        # round6 for the same cross-engine determinism as the fb selection
+        rm = {t: round(w, 6) for t, w in rm.items()}
+        rm_top = sorted(rm.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        rm_l1 = sum(w for _, w in rm_top)
+        qtot = float(sum(c for _, c in clauses))
+        weights: dict[str, float] = {
+            t: orig_weight * c / qtot for t, c in clauses
+        }
+        for t, w in rm_top:
+            weights[t] = weights.get(t, 0.0) + (
+                (1 - orig_weight) * w / rm_l1 if rm_l1 > 0 else 0.0
+            )
+        # weighted second pass, float64
+        scores: dict[str, float] = {}
+        for term, w in weights.items():
+            gdf = s._global_df(term)
+            if gdf <= 0:
+                continue
+            idf = math.log(1 + (N - gdf + 0.5) / (gdf + 0.5))
+            for r in s.readers:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                qdl = r.score_dl_lucene[ords].astype(np.float64)
+                tf64 = tfs.astype(np.float64)
+                contrib = w * idf * tf64 / (
+                    tf64 + k1 * (1 - b + b * qdl / avgdl)
+                )
+                for d, c in zip(
+                    r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                ):
+                    scores[d] = scores.get(d, 0.0) + float(c)
+        cands = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        for rank, (sc, d) in enumerate(cands):
+            out_rows.append((qid, rank + 1, d, sc))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 def _engine_run(sf_dir: str, k: int = 10):
     """BM25 top-k over the built index for the benchmark query set. The
     float32 Lucene-parity actor-pool path (Searcher.batch_search) runs
@@ -623,7 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_fake_words": _ann_fake_words,
         "slr_topk": _slr_topk,
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
-        "bm25_rm3": lambda sf: _mode_run(sf, "rm3"),
+        "bm25_rm3": _rm3_topk,
         "bm25_prf": lambda sf: _mode_run(sf, "prf"),
         "phrase_topk": _phrase_topk,
         "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
@@ -684,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_engine": S.bm25_topk_engine_sql(),
         "qld_topk": S.qld_topk_engine_sql(),
         "phrase_topk": S.phrase_topk_engine_sql(),
+        "bm25_rm3": S.rm3_topk_engine_sql(),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

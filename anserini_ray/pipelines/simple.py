@@ -642,6 +642,122 @@ def phrase_topk_engine_sql(queries=SIMPLE_QUERIES, k: int = BM25_TOPK) -> str:
     )
 
 
+def rm3_topk_engine_sql(
+    queries=SIMPLE_QUERIES,
+    k: int = BM25_TOPK,
+    fb_terms: int = 10,
+    fb_docs: int = 10,
+    orig_weight: float = 0.5,
+) -> str:
+    """RM3 (deterministic-tie-break float64 variant, see
+    __ray_entry__._rm3_topk) fully in SQL: raw first-pass BM25 → top-10
+    feedback docs (score desc, docid asc) → per-doc term vectors filtered
+    (len 2..20, alnum, df/N <= 0.1) and pruned to 10 (tf desc, term asc) →
+    relevance-model weights Σ (tf/docnorm)·docscore → top-10 (w desc, term
+    asc), unit-L1 → interpolate 0.5 with the unit-L1 query model → weighted
+    second-pass BM25, round4 ranking."""
+    values = analyzed_query_clause_values(queries)
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  first_pass AS (
+    SELECT q.qid, atf.doc_id,
+           sum(q.cnt * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS raw_score
+    FROM q
+    JOIN atf ON q.term = atf.term
+    JOIN gdf ON gdf.term = q.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, atf.doc_id
+  ),
+  first_r AS (SELECT qid, doc_id, round(raw_score, 4) AS score
+              FROM first_pass),
+  fb AS (
+    SELECT qid, doc_id, score FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+      FROM first_r
+    ) WHERE rn <= {fb_docs}
+  ),
+  dv AS (
+    SELECT fb.qid, fb.doc_id, fb.score, atf.term, CAST(atf.tf AS DOUBLE) AS tf
+    FROM fb
+    JOIN atf ON atf.doc_id = fb.doc_id
+    JOIN gdf ON gdf.term = atf.term
+    CROSS JOIN stats s
+    WHERE length(atf.term) BETWEEN 2 AND 20
+      AND gdf.df * 1.0 / s.n <= 0.1
+  ),
+  dvp AS (
+    SELECT qid, doc_id, score, term, tf FROM (
+      SELECT qid, doc_id, score, term, tf,
+             row_number() OVER (
+               PARTITION BY qid, doc_id ORDER BY tf DESC, term ASC) AS rn
+      FROM dv
+    ) WHERE rn <= {fb_terms}
+  ),
+  dnorm AS (
+    SELECT qid, doc_id, sum(tf) AS norm FROM dvp GROUP BY 1, 2
+  ),
+  rmw AS (
+    SELECT d.qid, d.term,
+           round(sum((d.tf / dn.norm) * d.score), 6) AS w
+    FROM dvp d JOIN dnorm dn ON dn.qid = d.qid AND dn.doc_id = d.doc_id
+    WHERE dn.norm > 0.001
+    GROUP BY 1, 2
+  ),
+  rmtop AS (
+    SELECT qid, term, w FROM (
+      SELECT qid, term, w,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY w DESC, term ASC) AS rn
+      FROM rmw
+    ) WHERE rn <= {fb_terms}
+  ),
+  rml1 AS (SELECT qid, sum(w) AS l1 FROM rmtop GROUP BY qid),
+  qtot AS (SELECT qid, sum(cnt) * 1.0 AS tot FROM q GROUP BY qid),
+  interp AS (
+    SELECT COALESCE(a.qid, b.qid) AS qid,
+           COALESCE(a.term, b.term) AS term,
+           COALESCE({orig_weight} * a.cnt / qt.tot, 0)
+           + COALESCE((1 - {orig_weight}) * b.w / rl.l1, 0) AS w
+    FROM q a
+    FULL OUTER JOIN rmtop b ON a.qid = b.qid AND a.term = b.term
+    LEFT JOIN qtot qt ON qt.qid = COALESCE(a.qid, b.qid)
+    LEFT JOIN rml1 rl ON rl.qid = COALESCE(a.qid, b.qid)
+  ),
+  second AS (
+    SELECT i.qid, atf.doc_id,
+           sum(i.w * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS score
+    FROM interp i
+    JOIN atf ON i.term = atf.term
+    JOIN gdf ON gdf.term = i.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY i.qid, atf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM second
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 
