@@ -325,6 +325,113 @@ def _rm3_topk(sf_dir: str, k: int = 10, fb_terms: int = 10, fb_docs: int = 10,
     )
 
 
+def _bm25prf_topk(sf_dir: str, k: int = 10, fb_terms: int = 20,
+                  fb_docs: int = 10, new_term_weight: float = 0.2):
+    """BM25PRF (deterministic float64 variant of
+    `LocalSearcher.search_bm25prf`, SQL-mirrorable): round4 first-pass BM25
+    → top-10 feedback docs (score desc, docid asc) → Robertson offer-weight
+    selection of up to 20 new terms (round6 offer weights, tie-break term
+    asc — the same key the engine uses) → second pass BM25 with idf ≡ 1 and
+    clause boosts = Robertson relevance weights. All inputs from the real
+    index; the engine's f32 second pass is oracle-tested in
+    tests/test_bm25prf.py."""
+    import math
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    N = s.manifest.doc_count
+    C = s.manifest.sum_total_tf
+    avgdl = C / N
+    k1, b = 0.9, 0.4
+    alnum = re.compile(r"^[a-z0-9]+$")
+    digits = re.compile(r"^[0-9]+$")
+    out_rows = []
+    for qid, text in SIMPLE_QUERIES:
+        orig_terms = s.analyzer.analyze(text)
+        if not orig_terms:
+            continue
+        first = {d: round(sc, 4) for d, sc in _bm25_f64_scores(s, text).items()}
+        fb = sorted(first.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_docs]
+        numrel = len(fb)
+        term_sets = [set(s.doc_vector(d)) for d, _ in fb]
+        vocab = set().union(*term_sets) if term_sets else set()
+
+        def rel_weight(df, df_rel, mult):
+            rw = (
+                math.log(
+                    (df_rel + 0.5) * (N - df - numrel + df_rel + 0.5)
+                    / ((df - df_rel + 0.5) * (numrel - df_rel + 0.5))
+                )
+                * mult
+            )
+            return max(rw, 1e-6)
+
+        orig_set = set(orig_terms)
+        new_feats = {}
+        for term in sorted(vocab):
+            if term in orig_set or not (2 <= len(term) <= 20):
+                continue
+            if not alnum.match(term) or digits.match(term):
+                continue
+            df = s._global_df(term)
+            df_rel = sum(1 for ts in term_sets if term in ts)
+            if df_rel < 2:
+                continue
+            offer = round(
+                rel_weight(df, df_rel, new_term_weight)
+                * math.log(max(df_rel, 1e-6)),
+                6,
+            )
+            new_feats[term] = (df, df_rel, offer)
+        kept = sorted(
+            new_feats.items(), key=lambda kv: (-kv[1][2], kv[0])
+        )[:fb_terms]
+        weights = {
+            t: rel_weight(df, df_rel, new_term_weight)
+            for t, (df, df_rel, _) in kept
+        }
+        for term in orig_terms:
+            df = s._global_df(term)
+            df_rel = sum(1 for ts in term_sets if term in ts)
+            weights[term] = rel_weight(df, df_rel, 1.0)
+        # second pass: BM25 with idf == 1, float64
+        scores: dict[str, float] = {}
+        for term, w in weights.items():
+            for r in s.readers:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                qdl = r.score_dl_lucene[ords].astype(np.float64)
+                tf64 = tfs.astype(np.float64)
+                contrib = w * tf64 / (tf64 + k1 * (1 - b + b * qdl / avgdl))
+                for d, c in zip(
+                    r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                ):
+                    scores[d] = scores.get(d, 0.0) + float(c)
+        cands = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        for rank, (sc, d) in enumerate(cands):
+            out_rows.append((qid, rank + 1, d, sc))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 def _engine_run(sf_dir: str, k: int = 10):
     """BM25 top-k over the built index for the benchmark query set. The
     float32 Lucene-parity actor-pool path (Searcher.batch_search) runs
@@ -725,7 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slr_topk": _slr_topk,
         # --- advanced retrieval modes (rows-only; oracle-tested in pytest) ---
         "bm25_rm3": _rm3_topk,
-        "bm25_prf": lambda sf: _mode_run(sf, "prf"),
+        "bm25_prf": _bm25prf_topk,
         "phrase_topk": _phrase_topk,
         "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
         "bm25_axiom": lambda sf: _mode_run(sf, "axiom"),
@@ -786,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "qld_topk": S.qld_topk_engine_sql(),
         "phrase_topk": S.phrase_topk_engine_sql(),
         "bm25_rm3": S.rm3_topk_engine_sql(),
+        "bm25_prf": S.bm25prf_topk_engine_sql(),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

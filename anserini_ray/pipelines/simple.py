@@ -758,6 +758,116 @@ def rm3_topk_engine_sql(
     )
 
 
+def bm25prf_topk_engine_sql(
+    queries=SIMPLE_QUERIES,
+    k: int = BM25_TOPK,
+    fb_terms: int = 20,
+    fb_docs: int = 10,
+    new_term_weight: float = 0.2,
+) -> str:
+    """BM25PRF (deterministic float64 variant, see
+    __ray_entry__._bm25prf_topk) in SQL: round4 first pass → top-10
+    feedback docs → Robertson offer weights over new terms (df_rel >= 2,
+    len 2..20, not all-digits), round6 + term-asc tie-break, top-20 →
+    second-pass BM25 with idf ≡ 1 and relevance-weight boosts."""
+    values = analyzed_query_clause_values(queries)
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  first_pass AS (
+    SELECT q.qid, atf.doc_id,
+           round(sum(q.cnt * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ), 4) AS score
+    FROM q
+    JOIN atf ON q.term = atf.term
+    JOIN gdf ON gdf.term = q.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, atf.doc_id
+  ),
+  fb AS (
+    SELECT qid, doc_id FROM (
+      SELECT qid, doc_id,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+      FROM first_pass
+    ) WHERE rn <= {fb_docs}
+  ),
+  numrel AS (SELECT qid, count(*) AS r FROM fb GROUP BY qid),
+  dfrel AS (
+    SELECT fb.qid, atf.term, count(DISTINCT atf.doc_id) AS df_rel
+    FROM fb JOIN atf ON atf.doc_id = fb.doc_id
+    GROUP BY 1, 2
+  ),
+  cand AS (
+    SELECT d.qid, d.term, gdf.df, d.df_rel, nr.r,
+           greatest(ln((d.df_rel + 0.5) * (s.n - gdf.df - nr.r + d.df_rel + 0.5)
+                 / ((gdf.df - d.df_rel + 0.5) * (nr.r - d.df_rel + 0.5)))
+                 * {new_term_weight}, 0.000001) AS rw
+    FROM dfrel d
+    JOIN gdf ON gdf.term = d.term
+    JOIN numrel nr ON nr.qid = d.qid
+    CROSS JOIN stats s
+    WHERE d.df_rel >= 2
+      AND length(d.term) BETWEEN 2 AND 20
+      AND NOT regexp_matches(d.term, '^[0-9]+$')
+      AND NOT EXISTS (SELECT 1 FROM q WHERE q.qid = d.qid AND q.term = d.term)
+  ),
+  new_kept AS (
+    SELECT qid, term, rw FROM (
+      SELECT qid, term, rw,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(rw * ln(greatest(df_rel, 0.000001)), 6) DESC,
+                        term ASC) AS rn
+      FROM cand
+    ) WHERE rn <= {fb_terms}
+  ),
+  orig_w AS (
+    SELECT q.qid, q.term,
+           greatest(ln((COALESCE(d.df_rel, 0) + 0.5)
+                 * (s.n - gdf.df - nr.r + COALESCE(d.df_rel, 0) + 0.5)
+                 / ((gdf.df - COALESCE(d.df_rel, 0) + 0.5)
+                    * (nr.r - COALESCE(d.df_rel, 0) + 0.5))), 0.000001) AS rw
+    FROM q
+    JOIN gdf ON gdf.term = q.term
+    JOIN numrel nr ON nr.qid = q.qid
+    LEFT JOIN dfrel d ON d.qid = q.qid AND d.term = q.term
+    CROSS JOIN stats s
+  ),
+  allw AS (
+    SELECT qid, term, rw FROM new_kept
+    UNION ALL
+    SELECT qid, term, rw FROM orig_w
+  ),
+  second AS (
+    SELECT w.qid, atf.doc_id,
+           sum(w.rw * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS score
+    FROM allw w
+    JOIN atf ON w.term = atf.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY w.qid, atf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM second
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 
