@@ -432,6 +432,136 @@ def _bm25prf_topk(sf_dir: str, k: int = 10, fb_terms: int = 20,
     )
 
 
+def _axiom_topk(sf_dir: str, k: int = 10, beta: float = 0.4,
+                m_terms: int = 20):
+    """Axiomatic semantic expansion in the FULL-POOL configuration
+    (r_top * n_factor >= doc count, so the reranking pool is the entire
+    corpus — the deterministic endpoint of the engine's seeded sampling,
+    and what makes the operator SQL-mirrorable). Mutual information over
+    per-term doc sets from the index's own postings, float64, expansion
+    weights round6, ranking (round4 desc, docid asc). The sampled-pool
+    engine path stays oracle-tested in tests/test_axiom.py."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    N = s.manifest.doc_count
+    C = s.manifest.sum_total_tf
+    avgdl = C / N
+    k1, b = 0.9, 0.4
+    # per-term doc sets over the WHOLE corpus, straight from postings
+    inv: dict[str, frozenset] = {}
+    union: set = set()
+    for r in s.readers:
+        for term, _df, _cf in r.iter_terms():
+            post = r.postings(term)
+            if post is None:
+                continue
+            docs = frozenset(
+                r.doc_id_strings(r.dense_of_raw(post[0]))
+            )
+            inv[term] = frozenset(inv.get(term, frozenset()) | docs)
+            union |= docs
+    total = len(union)
+
+    def mi(sx, sy) -> float:
+        x1, y1 = len(sx), len(sy)
+        x0, y0 = total - x1, total - y1
+        if x1 == 0 or x0 == 0 or y1 == 0 or y0 == 0:
+            return 0.0
+        px0, px1 = x0 / total, x1 / total
+        py0, py1 = y0 / total, y1 / total
+        n11 = len(sx & sy)
+        n10 = x1 - n11
+        n01 = y1 - n11
+        n00 = total - n11 - n10 - n01
+        p11, p10 = n11 / total, n10 / total
+        p01, p00 = n01 / total, n00 / total
+        out = 0.0
+        if p00 != 0:
+            out += p00 * math.log(p00 / (px0 * py0))
+        if p01 != 0:
+            out += p01 * math.log(p01 / (px0 * py1))
+        if p10 != 0:
+            out += p10 * math.log(p10 / (px1 * py0))
+        if p11 != 0:
+            out += p11 * math.log(p11 / (px1 * py1))
+        return out
+
+    out_rows = []
+    for qid, text in SIMPLE_QUERIES:
+        q_tokens = s.analyzer.analyze(text)
+        if not q_tokens:
+            continue
+        q_counts: dict[str, int] = {}
+        for t in q_tokens:
+            q_counts[t] = q_counts.get(t, 0) + 1
+        agg: dict[str, float] = {}
+        for q_term, qtf in q_counts.items():
+            df = s._global_df(q_term)
+            if df <= 0 or q_term not in inv:
+                continue
+            idf_q = math.log((1 + N) / df)
+            self_mi = mi(inv[q_term], inv[q_term])
+            for term, docs in inv.items():
+                if term == q_term:
+                    score = idf_q * qtf
+                else:
+                    score = (
+                        idf_q * beta * qtf * mi(inv[q_term], docs) / self_mi
+                        if self_mi != 0
+                        else 0.0
+                    )
+                if score > 1e-8:
+                    agg[term] = agg.get(term, 0.0) + score
+        if not agg:
+            continue
+        final = sorted(
+            ((t, round(w / len(q_tokens), 6)) for t, w in agg.items()),
+            key=lambda ts: (-ts[1], ts[0]),
+        )[:m_terms]
+        scores: dict[str, float] = {}
+        for term, w in final:
+            gdf = s._global_df(term)
+            if gdf <= 0:
+                continue
+            idf = math.log(1 + (N - gdf + 0.5) / (gdf + 0.5))
+            for r in s.readers:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                qdl = r.score_dl_lucene[ords].astype(np.float64)
+                tf64 = tfs.astype(np.float64)
+                contrib = w * idf * tf64 / (
+                    tf64 + k1 * (1 - b + b * qdl / avgdl)
+                )
+                for d, c in zip(
+                    r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                ):
+                    scores[d] = scores.get(d, 0.0) + float(c)
+        cands = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        for rank, (sc, d) in enumerate(cands):
+            out_rows.append((qid, rank + 1, d, sc))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 def _engine_run(sf_dir: str, k: int = 10):
     """BM25 top-k over the built index for the benchmark query set. The
     float32 Lucene-parity actor-pool path (Searcher.batch_search) runs
@@ -835,7 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prf": _bm25prf_topk,
         "phrase_topk": _phrase_topk,
         "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
-        "bm25_axiom": lambda sf: _mode_run(sf, "axiom"),
+        "bm25_axiom": _axiom_topk,
         "qld_topk": lambda sf: _exhaustive_f64_topk(sf, "qld"),
         "ltr_features": _ltr_features,
         "ltr_training_data": _ltr_training_data,
@@ -894,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": S.phrase_topk_engine_sql(),
         "bm25_rm3": S.rm3_topk_engine_sql(),
         "bm25_prf": S.bm25prf_topk_engine_sql(),
+        "bm25_axiom": S.axiom_topk_engine_sql(),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

@@ -868,6 +868,116 @@ def bm25prf_topk_engine_sql(
     )
 
 
+def axiom_topk_engine_sql(
+    queries=SIMPLE_QUERIES,
+    k: int = BM25_TOPK,
+    beta: float = 0.4,
+    m_terms: int = 20,
+) -> str:
+    """Axiomatic expansion (full-pool deterministic float64 variant, see
+    __ray_entry__._axiom_topk) in SQL: pairwise mutual information over
+    per-term doc sets (joint df via an atf self-join), expansion weight
+    idf_q*beta*qtf*MI/selfMI (idf_q*qtf for the query term itself),
+    aggregated, round6, top-20 per query, weighted second-pass BM25."""
+    values = analyzed_query_clause_values(queries)
+    return _with_transcripts(
+        _ATOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM adl),
+  q(qid, term, cnt) AS (VALUES {values}),
+  qlen AS (SELECT qid, CAST(sum(cnt) AS BIGINT) AS n_toks FROM q GROUP BY qid),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  joint AS (
+    SELECT a.term AS qt, b.term AS t, count(*) AS n11
+    FROM atf a JOIN atf b ON a.doc_id = b.doc_id
+    WHERE a.term IN (SELECT DISTINCT term FROM q)
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT qq.qid, qq.term AS qt, qq.cnt AS qtf, v.term AS t,
+           CAST(gx.df AS DOUBLE) AS x1, CAST(v.df AS DOUBLE) AS y1,
+           CAST(COALESCE(j.n11, 0) AS DOUBLE) AS n11, tt.t AS tot
+    FROM q qq
+    JOIN gdf gx ON gx.term = qq.term
+    CROSS JOIN gdf v
+    LEFT JOIN joint j ON j.qt = qq.term AND j.t = v.term
+    CROSS JOIN total tt
+  ),
+  mi AS (
+    SELECT qid, qt, qtf, t, x1,
+           CASE WHEN x1 = 0 OR x1 = tot OR y1 = 0 OR y1 = tot THEN 0.0
+                ELSE
+             (CASE WHEN (tot - n11 - (x1 - n11) - (y1 - n11)) = 0 THEN 0.0
+                   ELSE ((tot - n11 - (x1 - n11) - (y1 - n11)) / tot)
+                        * ln(((tot - n11 - (x1 - n11) - (y1 - n11)) / tot)
+                             / (((tot - x1) / tot) * ((tot - y1) / tot))) END)
+           + (CASE WHEN (y1 - n11) = 0 THEN 0.0
+                   ELSE ((y1 - n11) / tot)
+                        * ln(((y1 - n11) / tot)
+                             / (((tot - x1) / tot) * (y1 / tot))) END)
+           + (CASE WHEN (x1 - n11) = 0 THEN 0.0
+                   ELSE ((x1 - n11) / tot)
+                        * ln(((x1 - n11) / tot)
+                             / ((x1 / tot) * ((tot - y1) / tot))) END)
+           + (CASE WHEN n11 = 0 THEN 0.0
+                   ELSE (n11 / tot)
+                        * ln((n11 / tot)
+                             / ((x1 / tot) * (y1 / tot))) END)
+           END AS mi_v
+    FROM pairs
+  ),
+  selfmi AS (SELECT qid, qt, mi_v AS smi FROM mi WHERE t = qt),
+  scored AS (
+    SELECT m.qid, m.t,
+           CASE WHEN m.t = m.qt THEN ln((1 + s.n) / m.x1) * m.qtf
+                WHEN sm.smi <> 0
+                THEN ln((1 + s.n) / m.x1) * {beta} * m.qtf * m.mi_v / sm.smi
+                ELSE 0.0 END AS score
+    FROM mi m
+    JOIN selfmi sm ON sm.qid = m.qid AND sm.qt = m.qt
+    CROSS JOIN stats s
+  ),
+  agg AS (
+    SELECT qid, t, sum(score) AS w
+    FROM scored WHERE score > 1e-8 GROUP BY 1, 2
+  ),
+  finalw AS (
+    SELECT qid, t AS term, w FROM (
+      SELECT a.qid, a.t,
+             round(a.w / ql.n_toks, 6) AS w,
+             row_number() OVER (
+               PARTITION BY a.qid
+               ORDER BY round(a.w / ql.n_toks, 6) DESC, a.t ASC) AS rn
+      FROM agg a JOIN qlen ql ON ql.qid = a.qid
+    ) WHERE rn <= {m_terms}
+  ),
+  second AS (
+    SELECT fw.qid, atf.doc_id,
+           sum(fw.w * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS score
+    FROM finalw fw
+    JOIN atf ON fw.term = atf.term
+    JOIN gdf ON gdf.term = fw.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY fw.qid, atf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM second
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 
