@@ -116,7 +116,8 @@ def cmd_index(argv) -> int:
     )
     p.add_argument("-storePositions", action="store_true")
     p.add_argument("-storeDocvectors", action="store_true")
-    p.add_argument("-stemmer", default="porter", choices=["porter", "none"])
+    p.add_argument("-stemmer", default="porter",
+                   choices=["porter", "krovetz", "none"])
     p.add_argument("-keepStopwords", action="store_true")
     p.add_argument("-uniqueDocid", action="store_true")
     p.add_argument("-whitelist", default=None)
@@ -126,6 +127,8 @@ def cmd_index(argv) -> int:
     p.add_argument("-resume", action="store_true")
     p.add_argument("-assumeSorted", action="store_true")
     p.add_argument("-segShift", type=int, default=17)
+    p.add_argument("-shard.count", dest="shard_count", type=int, default=-1)
+    p.add_argument("-shard.current", dest="shard_current", type=int, default=-1)
     p.add_argument("-threads", type=int, default=None, help="ray num_cpus")
     a = p.parse_args(argv)
 
@@ -149,6 +152,8 @@ def cmd_index(argv) -> int:
         assume_sorted=a.assumeSorted,
         store_docvecs=a.storeDocvectors,
         store_positions=a.storePositions,
+        shard_count=a.shard_count,
+        shard_current=a.shard_current,
     )
     input_paths = None
     if (
