@@ -140,6 +140,73 @@ what when where whether which while white who whole whose why wide wife
 will win window wine winter wish with within without witness woman
 wonder word work worker world worry worth would write writer wrong yard
 year yes yet you young your yourself zone
+absence absolute abstract academy accent accident accord accuracy accurate
+achieve acid acquire active adapt addition adequate adjacent admire adopt
+advise aeroplane afraid afternoon agency agenda aggregate agriculture aid
+aim airport alarm album alert algebra algorithm alien align alike alive
+alley alliance allocate alloy ally alphabet altitude aluminum amateur
+amaze ambition amend amuse anchor ancient angel anger angle angry
+anniversary annoy anonymous antenna anxiety anxious apart apartment
+apology apparatus apparent appeal appetite applaud appliance appoint
+appreciate approve arbitrary arc arch architect archive arena argument
+arise arithmetic armor arrange arrest arrow ash aside asleep assault
+assemble assert assess asset assign assist associate assure astronomy
+athlete atlas atmosphere atom attract auction audience audio audit august
+aunt authentic authority autumn avenue awake award awful awkward axis
+bachelor backbone bacon badge baggage bake bald ballet balloon ballot
+bamboo banana band bandwidth banner barbecue bare bargain barrel barrier
+basin basket battery battle bay beach beam bean beard beast beauty
+beef beer beetle bell belt bench bend benchmark berry beside bet betray
+beverage beware bias bicycle bid bike bind biology bird birth biscuit
+bishop bite bitter blade blame blank blanket blast blaze bleak bless
+blind blink blossom blouse blue blur blush boast boil bold bolt bomb
+bond bone bonus boost boot borrow boss bounce bound bowl brace bracket
+brand brass brave breath breathe breed breeze brick bride brisk bronze
+broom brown browse bruise brush bubble bucket buckle buffalo buffer bug
+bulb bulk bullet bundle bunker burden burn burst bury bush butter button
+cabbage cabin cabinet cable cactus cage cake calculate calm canal cancel
+candle candy canoe canvas canyon capable capacity cape carbon cargo
+carpet cart carve cascade cash casino cast castle casual catalog
+category cattle caution cave cease ceiling celebrate cement census cereal
+ceremony certify chalk chamber champion chaos charm chase chat cheap
+cheat cheese chemical cherry chess chest chew chicken chip chocolate
+choir chop chorus chrome chunk cigar cinema cite claw clay clerk clever
+cliff climate clinic clip cloth clothe clown clue clumsy coal coarse
+coat coconut coil coin collar combat comedy comfort comic compact
+compass compete compile complain compose compound compress compromise
+conceal concede concept concert conclude concrete condemn condense cone
+confess confine conflict confront confuse consent console consist
+conspire construct consult consume contact contempt contend contrast
+contribute convene convince cope copper coral cord corn corps
+correspond corridor corrupt costume cottage cotton couch cough council
+counsel courage cousin crab craft crane crash crawl crazy cream crisp
+criterion critic crop crouch crucial crude cruel cruise crumble crunch
+crush crystal cube cubicle cue cuisine culprit cultivate cunning cupboard
+curb cure curious curl currency curtain curve cushion customary dairy
+daisy dam damp dare dash dawn dazzle deaf dear debris debt decay decent
+deck declare decline decorate decrease dedicate deed defeat defect
+defend deficit defy delay delegate delete delicate delight demon
+demonstrate denote dense dental deny depart deposit depress deprive
+deputy derive descend desert deserve desire despair despite dessert
+destine destroy detach devote diagram dial diamond diary dice dictate
+diet differ digest dignity dilute dim dime diminish dine dinosaur dip
+diploma dirt disagree disaster discard discipline disclose discount
+discourse dish dismiss disorder dispatch dispose dispute dissolve
+distinct distort distress distribute disturb ditch dive divert divine
+divorce dizzy dock dodge doll dolphin donate donkey donor doom dose
+dot dough dove dozen drag dragon drain drastic dread drift drill drink
+drown drum dry duck due duel dull dumb dump dune dusk dust dwell dye
+eager eagle ear earnest ease echo eclipse ecology edible educate eel
+eerie ego eject elaborate elastic elbow elder elect elegant elephant
+elevate eligible eliminate elite elbow embark embarrass emblem embrace
+emit emotion emperor emphasis empire enable enact enclose encounter
+encourage endorse endure enforce engage enhance enlist enormous enrich
+enroll ensure entail entertain enthusiasm entice entitle envelope envy
+epic episode equip era erase erect erode errand erupt essay essence
+essential estate eternal ethics evade evaporate evict evoke evolve
+exceed excel excess excite exclude excuse exempt exercise exhaust
+exhibit exile exit exotic expand expense explode exploit explore export
+expose extent exterior external extinct extract
 """.split()
 
 # Direct conflations (irregular forms the dictionary maps to a root) —
