@@ -105,12 +105,17 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     lat.sort()
     p50_ms = 1000 * lat[len(lat) // 2]
 
+    def _consume(result):
+        # pipelines may return a Dataset (consume it) or a final pa.Table
+        if hasattr(result, "materialize"):
+            result.materialize()
+
     t0 = time.perf_counter()
-    S.bm25_topk_simple(sf_dir).materialize()
+    _consume(S.bm25_topk_simple(sf_dir))
     timings["bm25_topk_simple"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    S.term_df_cf(sf_dir).materialize()
+    _consume(S.term_df_cf(sf_dir))
     timings["term_df_cf"] = time.perf_counter() - t0
 
     result = {
