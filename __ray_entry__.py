@@ -562,6 +562,146 @@ def _axiom_topk(sf_dir: str, k: int = 10, beta: float = 0.4,
     )
 
 
+def _sdm_topk(sf_dir: str, k: int = 10, term_weight: float = 0.85,
+              ordered_weight: float = 0.1, unordered_weight: float = 0.05):
+    """Sequential Dependence Model (deterministic float64 variant of
+    `LocalSearcher.search_sdm`, SQL-mirrorable): 0.85*unigram BM25 +
+    0.1*ordered-span + 0.05*unordered-span per adjacent pair, span
+    frequencies = Lucene sloppyFreq (ordered: first t2 >= p1+1, width<=1;
+    unordered: advance-the-minimum two-pointer walk, |i-j|-1<=8, each
+    visited state contributing 1/(1+|i-j|)), clause weight =
+    (idf(t1)+idf(t2)). Positions/postings/norms from the real index; the
+    f32 engine path stays oracle-tested in tests/test_sdm.py."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    N = s.manifest.doc_count
+    C = s.manifest.sum_total_tf
+    avgdl = C / N
+    k1, b = 0.9, 0.4
+    out_rows = []
+    for qid, text in SIMPLE_QUERIES:
+        terms = s.analyzer.analyze(text)
+        scores: dict[str, float] = {}
+        if len(terms) < 2:
+            scores = {
+                d: sc for d, sc in _bm25_f64_scores(s, text).items()
+            }
+        else:
+            # unigram part at term_weight
+            counts: dict[str, int] = {}
+            for t in terms:
+                counts[t] = counts.get(t, 0) + 1
+            for term, cnt in counts.items():
+                gdf = s._global_df(term)
+                if gdf <= 0:
+                    continue
+                idf = math.log(1 + (N - gdf + 0.5) / (gdf + 0.5))
+                for r in s.readers:
+                    post = r.postings(term)
+                    if post is None:
+                        continue
+                    ords, tfs = post
+                    qdl = r.score_dl_lucene[ords].astype(np.float64)
+                    tf64 = tfs.astype(np.float64)
+                    contrib = (
+                        term_weight * cnt * idf * tf64
+                        / (tf64 + k1 * (1 - b + b * qdl / avgdl))
+                    )
+                    for d, c in zip(
+                        r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                    ):
+                        scores[d] = scores.get(d, 0.0) + float(c)
+            # span parts per adjacent pair (duplicates add clauses)
+            pair_mult: dict[tuple, int] = {}
+            for p in zip(terms, terms[1:]):
+                pair_mult[p] = pair_mult.get(p, 0) + 1
+            for (t1, t2), mult in pair_mult.items():
+                gdf1, gdf2 = s._global_df(t1), s._global_df(t2)
+                if gdf1 <= 0 or gdf2 <= 0:
+                    continue
+                pair_idf = (
+                    math.log(1 + (N - gdf1 + 0.5) / (gdf1 + 0.5))
+                    + math.log(1 + (N - gdf2 + 0.5) / (gdf2 + 0.5))
+                )
+                for r in s.readers:
+                    p1 = r.positions(t1)
+                    p2 = r.positions(t2)
+                    if p1 is None or p2 is None:
+                        continue
+                    o1, tf1, f1, off1 = p1
+                    o2, tf2, f2, off2 = p2
+                    common, i1, i2 = np.intersect1d(
+                        o1, o2, assume_unique=True, return_indices=True
+                    )
+                    for dord, a, bidx in zip(common, i1, i2):
+                        pl1 = f1[off1[a] : off1[a + 1]].astype(np.int64)
+                        pl2 = f2[off2[bidx] : off2[bidx + 1]].astype(np.int64)
+                        # ordered sloppyFreq
+                        fo = 0.0
+                        idx = np.searchsorted(pl2, pl1 + 1, side="left")
+                        for pi, j in zip(pl1, idx):
+                            if j < pl2.size:
+                                width = int(pl2[j]) - int(pi) - 1
+                                if width <= 1:
+                                    fo += 1.0 / (1 + width)
+                        # unordered: advance-the-minimum walk
+                        fu = 0.0
+                        x = y = 0
+                        while True:
+                            i, j = int(pl1[x]), int(pl2[y])
+                            dd = abs(i - j)
+                            if dd - 1 <= 8:
+                                fu += 1.0 / (1 + dd)
+                            if i <= j:
+                                x += 1
+                                if x >= pl1.size:
+                                    break
+                            else:
+                                y += 1
+                                if y >= pl2.size:
+                                    break
+                        if fo <= 0 and fu <= 0:
+                            continue
+                        raw = int(r.dense_of_raw(np.array([dord]))[0])
+                        docid = r.doc_id_strings(np.array([raw]))[0]
+                        qdl = float(r.score_dl_lucene[dord])
+                        denom = k1 * (1 - b + b * qdl / avgdl)
+                        add = 0.0
+                        if fo > 0:
+                            add += (
+                                mult * ordered_weight * pair_idf
+                                * fo / (fo + denom)
+                            )
+                        if fu > 0:
+                            add += (
+                                mult * unordered_weight * pair_idf
+                                * fu / (fu + denom)
+                            )
+                        scores[docid] = scores.get(docid, 0.0) + add
+        cands = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        for rank, (sc, d) in enumerate(cands):
+            out_rows.append((qid, rank + 1, d, sc))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in out_rows], type=pa.int32()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 def _engine_run(sf_dir: str, k: int = 10):
     """BM25 top-k over the built index for the benchmark query set. The
     float32 Lucene-parity actor-pool path (Searcher.batch_search) runs
@@ -964,7 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rm3": _rm3_topk,
         "bm25_prf": _bm25prf_topk,
         "phrase_topk": _phrase_topk,
-        "sdm_topk": lambda sf: _mode_run(sf, "sdm"),
+        "sdm_topk": _sdm_topk,
         "bm25_axiom": _axiom_topk,
         "qld_topk": lambda sf: _exhaustive_f64_topk(sf, "qld"),
         "ltr_features": _ltr_features,
@@ -1025,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rm3": S.rm3_topk_engine_sql(),
         "bm25_prf": S.bm25prf_topk_engine_sql(),
         "bm25_axiom": S.axiom_topk_engine_sql(),
+        "sdm_topk": S.sdm_topk_engine_sql(),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

@@ -978,6 +978,162 @@ def axiom_topk_engine_sql(
     )
 
 
+def sdm_topk_engine_sql(
+    queries=SIMPLE_QUERIES,
+    k: int = BM25_TOPK,
+    term_weight: float = 0.85,
+    ordered_weight: float = 0.1,
+    unordered_weight: float = 0.05,
+) -> str:
+    """SDM (deterministic float64 variant, see __ray_entry__._sdm_topk) in
+    SQL: 0.85*unigram BM25 + per-adjacent-pair span clauses with Lucene
+    sloppyFreq — the ordered span (first t2 >= p1+1, width <= 1) as a
+    min-join, the unordered span's advance-the-minimum two-pointer walk as
+    a RECURSIVE CTE over per-doc position lists. Single-term queries fall
+    back to plain BM25 (the engine's own fallback)."""
+    from ..analysis.analyzer import make_analyzer
+
+    an = make_analyzer()
+    uni_rows = []       # (qid, term, cnt, weight_mult) for the unigram part
+    pair_rows = []      # (qid, pid, t1, t2, mult)
+    pid = 0
+    for qid, text in queries:
+        terms = an.analyze(text)
+        if not terms:
+            continue
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        w_uni = term_weight if len(terms) >= 2 else 1.0
+        uni_rows.extend((qid, t, c, w_uni) for t, c in counts.items())
+        if len(terms) >= 2:
+            pm: dict[tuple, int] = {}
+            for p in zip(terms, terms[1:]):
+                pm[p] = pm.get(p, 0) + 1
+            for (t1, t2), m in pm.items():
+                pair_rows.append((qid, pid, t1, t2, m))
+                pid += 1
+    uni_values = ", ".join(
+        f"({q}, '{t}', {c}, {w})" for q, t, c, w in uni_rows
+    )
+    pair_values = ", ".join(
+        f"({q}, {p}, '{t1}', '{t2}', {m})" for q, p, t1, t2, m in pair_rows
+    )
+    from ..sources.transcripts import TRANSCRIPTS_SQL
+
+    return (
+        f"WITH RECURSIVE transcripts AS ({TRANSCRIPTS_SQL}), "
+        + _ATOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  pwords AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS wl
+    FROM docs
+  ),
+  prtoks AS (
+    SELECT doc_id, wl[i] AS word, i AS pos
+    FROM pwords, unnest(generate_series(1, len(wl))) AS u(i)
+  ),
+  stoks AS (
+    SELECT r.doc_id, s.term, r.pos FROM prtoks r JOIN stem s ON r.word = s.word
+  ),
+  plists AS (
+    SELECT doc_id, term, list(pos ORDER BY pos) AS pl
+    FROM stoks GROUP BY 1, 2
+  ),
+  uq(qid, term, cnt, wm) AS (VALUES {uni_values}),
+  pq(qid, pid, t1, t2, mult) AS (VALUES {pair_values}),
+  pd AS (
+    SELECT pq.qid, pq.pid, pq.mult, a.doc_id, a.pl AS l1, b.pl AS l2
+    FROM pq
+    JOIN plists a ON a.term = pq.t1
+    JOIN plists b ON b.term = pq.t2 AND b.doc_id = a.doc_id
+  ),
+  ofreq AS (
+    SELECT qid, pid, doc_id, sum(1.0 / (1 + w)) AS fo FROM (
+      SELECT pq.qid, pq.pid, s1.doc_id, s1.pos AS p1,
+             min(s2.pos) - s1.pos - 1 AS w
+      FROM pq
+      JOIN stoks s1 ON s1.term = pq.t1
+      JOIN stoks s2 ON s2.doc_id = s1.doc_id AND s2.term = pq.t2
+                    AND s2.pos >= s1.pos + 1
+      GROUP BY pq.qid, pq.pid, s1.doc_id, s1.pos
+    ) WHERE w <= 1 GROUP BY 1, 2, 3
+  ),
+  uwalk AS (
+    SELECT qid, pid, doc_id, l1, l2, 1 AS x, 1 AS y,
+           CAST(0 AS DOUBLE) AS acc
+    FROM pd
+    UNION ALL
+    SELECT qid, pid, doc_id, l1, l2,
+           CASE WHEN l1[x] <= l2[y] THEN x + 1 ELSE x END,
+           CASE WHEN l1[x] <= l2[y] THEN y ELSE y + 1 END,
+           acc + CASE WHEN abs(l1[x] - l2[y]) - 1 <= 8
+                      THEN 1.0 / (1 + abs(l1[x] - l2[y])) ELSE 0.0 END
+    FROM uwalk WHERE x <= len(l1) AND y <= len(l2)
+  ),
+  ufreq AS (
+    SELECT qid, pid, doc_id, max(acc) AS fu
+    FROM uwalk GROUP BY 1, 2, 3
+  ),
+  pidf AS (
+    SELECT pq.qid, pq.pid, pq.mult,
+           ln(1 + (s.n - g1.df + 0.5) / (g1.df + 0.5))
+           + ln(1 + (s.n - g2.df + 0.5) / (g2.df + 0.5)) AS pair_idf
+    FROM pq
+    JOIN gdf g1 ON g1.term = pq.t1
+    JOIN gdf g2 ON g2.term = pq.t2
+    CROSS JOIN stats s
+  ),
+  contrib AS (
+    SELECT uq.qid, atf.doc_id,
+           uq.wm * uq.cnt * ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+           * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           AS c
+    FROM uq
+    JOIN atf ON uq.term = atf.term
+    JOIN gdf ON gdf.term = uq.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    UNION ALL
+    SELECT o.qid, o.doc_id,
+           pi.mult * {ordered_weight} * pi.pair_idf
+           * o.fo / (o.fo + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl)) AS c
+    FROM ofreq o
+    JOIN pidf pi ON pi.qid = o.qid AND pi.pid = o.pid
+    JOIN aqdl ON aqdl.doc_id = o.doc_id
+    CROSS JOIN stats s
+    WHERE o.fo > 0
+    UNION ALL
+    SELECT u.qid, u.doc_id,
+           pi.mult * {unordered_weight} * pi.pair_idf
+           * u.fu / (u.fu + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl)) AS c
+    FROM ufreq u
+    JOIN pidf pi ON pi.qid = u.qid AND pi.pid = u.pid
+    JOIN aqdl ON aqdl.doc_id = u.doc_id
+    CROSS JOIN stats s
+    WHERE u.fu > 0
+  ),
+  second AS (
+    SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM second
+  )
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, score_r AS score
+  FROM ranked WHERE rank <= {k}
+  ORDER BY qid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 
