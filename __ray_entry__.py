@@ -702,6 +702,102 @@ def _sdm_topk(sf_dir: str, k: int = 10, term_weight: float = 0.85,
     )
 
 
+_BGLINK_QUERY_DOCS = ["conv-000000:0", "conv-000010:3", "conv-000030:5"]
+
+
+def _bglink_topk(sf_dir: str, k_terms: int = 20, hits: int = 10,
+                 dedup_threshold: float = 0.9):
+    """Background linking (deterministic float64 variant of
+    `LocalSearcher.search_background_linking`, whole-doc mode): top-20
+    tfidf terms of the query doc (round6, term-asc ties) → unweighted BM25
+    search ranked (round4 desc, docid asc) → rank scores hits-idx → greedy
+    docvec-cosine dedup (vs the query doc, then pairwise keep-earlier;
+    cosines round6). All inputs from the real index; the f32 engine path
+    stays behavior-tested in tests/test_background_linking.py."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    N = s.manifest.doc_count
+    C = s.manifest.sum_total_tf
+    avgdl = C / N
+    k1, b = 0.9, 0.4
+    out_rows = []
+    for qd in _BGLINK_QUERY_DOCS:
+        qvec = s.doc_vector(qd)
+        scored_terms = []
+        for term, cnt in qvec.items():
+            if len(term) < 2 or not term.isalpha():
+                continue
+            df = s._global_df(term)
+            tfidf = round(cnt * math.log((1.0 + N) / df), 6) if df > 0 else 0.0
+            scored_terms.append((term, tfidf))
+        scored_terms.sort(key=lambda p: (-p[1], p[0]))
+        top = [t for t, _ in scored_terms[:k_terms]]
+        scores: dict[str, float] = {}
+        for term in top:
+            gdf = s._global_df(term)
+            if gdf <= 0:
+                continue
+            idf = math.log(1 + (N - gdf + 0.5) / (gdf + 0.5))
+            for r in s.readers:
+                post = r.postings(term)
+                if post is None:
+                    continue
+                ords, tfs = post
+                qdl = r.score_dl_lucene[ords].astype(np.float64)
+                tf64 = tfs.astype(np.float64)
+                contrib = idf * tf64 / (tf64 + k1 * (1 - b + b * qdl / avgdl))
+                for d, c in zip(
+                    r.doc_id_strings(r.dense_of_raw(ords)), contrib
+                ):
+                    scores[d] = scores.get(d, 0.0) + float(c)
+        merged = sorted(
+            ((round(sc, 4), d) for d, sc in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:hits]
+        merged = [(d, float(hits - i)) for i, (_, d) in enumerate(merged)]
+
+        def _cos(a: dict, bb: dict) -> float:
+            if not a or not bb:
+                return 0.0
+            dot = sum(v * bb[t] for t, v in a.items() if t in bb)
+            na = math.sqrt(sum(v * v for v in a.values()))
+            nb = math.sqrt(sum(v * v for v in bb.values()))
+            return round(dot / (na * nb), 6) if na and nb else 0.0
+
+        vecs = [s.doc_vector(d) for d, _ in merged]
+        removed: set[int] = set()
+        for i in range(len(merged)):
+            if i in removed:
+                continue
+            if _cos(qvec, vecs[i]) >= dedup_threshold:
+                removed.add(i)
+                continue
+            for j in range(i + 1, len(merged)):
+                if _cos(vecs[i], vecs[j]) >= dedup_threshold:
+                    removed.add(j)
+        rank = 0
+        for i, (d, sc) in enumerate(merged):
+            if i in removed:
+                continue
+            rank += 1
+            out_rows.append((qd, rank, d, sc))
+    return pa.table(
+        {
+            "query_docid": pa.array([r[0] for r in out_rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.string()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 def _engine_run(sf_dir: str, k: int = 10):
     """BM25 top-k over the built index for the benchmark query set. The
     float32 Lucene-parity actor-pool path (Searcher.batch_search) runs
@@ -740,55 +836,6 @@ def _index_term_stats(sf_dir: str):
             pa.array([agg_cf[t] for t, _ in items], type=pa.int64()),
         ],
         names=["term", "df", "cf"],
-    )
-
-
-def _mode_run(sf_dir: str, mode: str, k: int = 10):
-    """Ranked-run table for an advanced retrieval mode over the built
-    index (RM3 / BM25PRF / phrase / alternate similarity)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from anserini_ray.pipelines.simple import SIMPLE_QUERIES
-    from anserini_ray.search import LocalSearcher
-
-    index_dir = _ensure_index(sf_dir)
-    if mode == "qld":
-        s = LocalSearcher(index_dir, similarity="qld")
-        run = lambda q: s.search(q, k=k)
-    elif mode == "rm3":
-        s = LocalSearcher(index_dir)
-        run = lambda q: s.search_rm3(q, k=k)
-    elif mode == "prf":
-        s = LocalSearcher(index_dir)
-        run = lambda q: s.search_bm25prf(q, k=k)
-    elif mode == "phrase":
-        s = LocalSearcher(index_dir)
-        run = lambda q: s.phrase_search(q, k=k)
-    elif mode == "sdm":
-        s = LocalSearcher(index_dir)
-        run = lambda q: s.search_sdm(q, k=k)
-    elif mode == "axiom":
-        s = LocalSearcher(index_dir)
-        run = lambda q: s.search_axiom(q, k=k)
-    else:
-        raise ValueError(mode)
-    qids, ranks, docs, scores = [], [], [], []
-    for qid, text in SIMPLE_QUERIES:
-        d, sc = run(text)
-        for r, (di, si) in enumerate(zip(d, sc)):
-            qids.append(qid)
-            ranks.append(r + 1)
-            docs.append(di)
-            scores.append(float(si))
-    return pa.Table.from_arrays(
-        [
-            pa.array(qids, type=pa.int32()),
-            pa.array(ranks, type=pa.int32()),
-            pa.array(docs, type=pa.string()),
-            pa.array(np.asarray(scores, dtype=np.float32), type=pa.float32()),
-        ],
-        names=["qid", "rank", "doc_id", "score"],
     )
 
 
@@ -994,35 +1041,6 @@ def _index_tool(sf_dir: str, fn_name: str):
     return getattr(index_tools, fn_name)(_ensure_index(sf_dir))
 
 
-def _background_linking(sf_dir: str):
-    """News background-linking runs for 3 query docs (rows-only check;
-    per-paragraph tf-idf queries, round-robin merge, cosine dedup)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from anserini_ray.search import LocalSearcher
-
-    index_dir = _ensure_index(sf_dir)
-    s = LocalSearcher(index_dir)
-    query_docids = ["conv-000000:0", "conv-000010:3", "conv-000030:5"]
-    qids, ranks, docs, scores = [], [], [], []
-    for qd in query_docids:
-        d, sc = s.search_background_linking(qd, k_terms=20, hits=10)
-        for r, (di, si) in enumerate(zip(d, sc)):
-            qids.append(qd)
-            ranks.append(r + 1)
-            docs.append(di)
-            scores.append(float(si))
-    return pa.table(
-        {
-            "query_docid": pa.array(qids, type=pa.string()),
-            "rank": pa.array(ranks, type=pa.int32()),
-            "doc_id": pa.array(docs, type=pa.string()),
-            "score": pa.array(np.asarray(scores), type=pa.float64()),
-        }
-    )
-
-
 def _ltr_training_data(sf_dir: str):
     """End-to-end labeled LTR rows: a deterministic TREC-format qrels file is
     derived from the corpus (each benchmark query's BM25 top-8; grade =
@@ -1109,7 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qld_topk": lambda sf: _exhaustive_f64_topk(sf, "qld"),
         "ltr_features": _ltr_features,
         "ltr_training_data": _ltr_training_data,
-        "background_linking": _background_linking,
+        "background_linking": _bglink_topk,
         # --- index dump utilities (IndexUtils/Extract* analogs) ---
         "index_docids_sorted": lambda sf: _index_tool(sf, "dump_docids_sorted"),
         "index_doc_lengths": lambda sf: _index_tool(sf, "dump_doc_lengths"),
@@ -1166,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prf": S.bm25prf_topk_engine_sql(),
         "bm25_axiom": S.axiom_topk_engine_sql(),
         "sdm_topk": S.sdm_topk_engine_sql(),
+        "background_linking": S.bglink_topk_engine_sql(),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }

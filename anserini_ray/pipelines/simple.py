@@ -1134,6 +1134,128 @@ def sdm_topk_engine_sql(
     )
 
 
+def bglink_topk_engine_sql(
+    query_docids: tuple = ("conv-000000:0", "conv-000010:3", "conv-000030:5"),
+    k_terms: int = 20,
+    hits: int = 10,
+    dedup_threshold: float = 0.9,
+) -> str:
+    """Background linking (deterministic float64 whole-doc variant, see
+    __ray_entry__._bglink_topk) in SQL: top-20 round6-tfidf query-doc terms
+    → unweighted BM25 → rank scores hits-idx → greedy docvec-cosine dedup,
+    with the keep-earlier survivor chain as a RECURSIVE CTE (per-candidate
+    killer lists + list_intersect against the survivor list)."""
+    from ..sources.transcripts import TRANSCRIPTS_SQL
+
+    qd_values = ", ".join(f"('{d}')" for d in query_docids)
+    return (
+        f"WITH RECURSIVE transcripts AS ({TRANSCRIPTS_SQL}), "
+        + _ATOKS_CTE
+        + f""",
+  stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM adl),
+  gdf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+  qd(qdoc) AS (VALUES {qd_values}),
+  qterms AS (
+    SELECT qdoc, term FROM (
+      SELECT qd.qdoc, a.term,
+             row_number() OVER (
+               PARTITION BY qd.qdoc
+               ORDER BY round(a.tf * ln((1.0 + s.n) / gdf.df), 6) DESC,
+                        a.term ASC) AS rn
+      FROM qd
+      JOIN atf a ON a.doc_id = qd.qdoc
+      JOIN gdf ON gdf.term = a.term
+      CROSS JOIN stats s
+      WHERE length(a.term) >= 2 AND regexp_matches(a.term, '^[a-z]+$')
+    ) WHERE rn <= {k_terms}
+  ),
+  fp AS (
+    SELECT qt.qdoc, atf.doc_id,
+           sum(ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * atf.tf / (atf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * aqdl.qdl / s.avgdl))
+           ) AS score
+    FROM qterms qt
+    JOIN atf ON atf.term = qt.term
+    JOIN gdf ON gdf.term = qt.term
+    JOIN aqdl ON aqdl.doc_id = atf.doc_id
+    CROSS JOIN stats s
+    GROUP BY qt.qdoc, atf.doc_id
+  ),
+  branked AS (
+    SELECT qdoc, doc_id, rn FROM (
+      SELECT qdoc, doc_id,
+             row_number() OVER (
+               PARTITION BY qdoc
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM fp
+    ) WHERE rn <= {hits}
+  ),
+  norms AS (
+    SELECT doc_id, sqrt(sum(CAST(tf AS DOUBLE) * tf)) AS nrm
+    FROM atf GROUP BY doc_id
+  ),
+  cosq AS (
+    SELECT b.qdoc, b.doc_id,
+           round(COALESCE(sum(CAST(a.tf AS DOUBLE) * c.tf), 0)
+                 / (nq.nrm * nc.nrm), 6) AS c
+    FROM branked b
+    JOIN norms nq ON nq.doc_id = b.qdoc
+    JOIN norms nc ON nc.doc_id = b.doc_id
+    LEFT JOIN atf a ON a.doc_id = b.qdoc
+    LEFT JOIN atf c ON c.doc_id = b.doc_id AND c.term = a.term
+    GROUP BY b.qdoc, b.doc_id, nq.nrm, nc.nrm
+  ),
+  cospair AS (
+    SELECT x.qdoc, x.doc_id AS a, y.doc_id AS b,
+           round(COALESCE(sum(CAST(ta.tf AS DOUBLE) * tb.tf), 0)
+                 / (na.nrm * nb.nrm), 6) AS c
+    FROM branked x
+    JOIN branked y ON y.qdoc = x.qdoc AND x.rn < y.rn
+    JOIN norms na ON na.doc_id = x.doc_id
+    JOIN norms nb ON nb.doc_id = y.doc_id
+    LEFT JOIN atf ta ON ta.doc_id = x.doc_id
+    LEFT JOIN atf tb ON tb.doc_id = y.doc_id AND tb.term = ta.term
+    GROUP BY x.qdoc, x.doc_id, y.doc_id, na.nrm, nb.nrm
+  ),
+  cand AS (
+    SELECT b.qdoc, b.doc_id, b.rn,
+           (cq.c >= {dedup_threshold}) AS selfbad,
+           COALESCE(kl.klist, CAST([] AS VARCHAR[])) AS klist
+    FROM branked b
+    JOIN cosq cq ON cq.qdoc = b.qdoc AND cq.doc_id = b.doc_id
+    LEFT JOIN (
+      SELECT qdoc, b AS doc_id, list(a) AS klist
+      FROM cospair WHERE c >= {dedup_threshold} GROUP BY 1, 2
+    ) kl ON kl.qdoc = b.qdoc AND kl.doc_id = b.doc_id
+  ),
+  walk(qdoc, i, surv) AS (
+    SELECT qdoc, 0, CAST([] AS VARCHAR[]) FROM qd
+    UNION ALL
+    SELECT w.qdoc, w.i + 1,
+           CASE WHEN c.selfbad THEN w.surv
+                WHEN len(list_intersect(w.surv, c.klist)) > 0 THEN w.surv
+                ELSE list_append(w.surv, c.doc_id) END
+    FROM walk w
+    JOIN cand c ON c.qdoc = w.qdoc AND c.rn = w.i + 1
+  ),
+  final_surv AS (
+    SELECT w.qdoc, w.surv
+    FROM walk w
+    JOIN (SELECT qdoc, max(rn) AS mx FROM cand GROUP BY qdoc) m
+      ON m.qdoc = w.qdoc AND w.i = m.mx
+  )
+  SELECT c.qdoc AS query_docid,
+         CAST(row_number() OVER (PARTITION BY c.qdoc ORDER BY c.rn)
+              AS INTEGER) AS rank,
+         c.doc_id,
+         CAST({hits} + 1 - c.rn AS DOUBLE) AS score
+  FROM cand c
+  JOIN final_surv fs ON fs.qdoc = c.qdoc
+  WHERE list_contains(fs.surv, c.doc_id)
+  ORDER BY query_docid, rank"""
+    )
+
+
 # ------------------------------------------------- QL Dirichlet SQL mirror
 QLD_MU = 1000.0
 
