@@ -1008,31 +1008,70 @@ def _slr_topk(sf_dir: str):
     )
 
 
-def _ltr_features(sf_dir: str):
-    """LTR feature rows for (benchmark query x its top-5 BM25 docs)."""
+_LTR_ROUND4 = ("bm25",)
+_LTR_ROUND6 = (
+    "tfidf", "avg_idf", "avg_ictf", "scq", "simplified_clarity", "sdm", "pmi",
+)
+
+
+def _ltr_pairs_f64(s, k: int):
+    """Deterministic (qid, query, doc_id) pair table: top-k docs per query
+    by float64 BM25 (round4 desc, docid asc) — the same selection key the
+    SQL oracle uses (the engine's f32 selection can permute round4 ties)."""
     import pyarrow as pa
 
-    from anserini_ray.pipelines.ltr import extract_features
     from anserini_ray.pipelines.simple import SIMPLE_QUERIES
-    from anserini_ray.search import LocalSearcher
 
-    index_dir = _ensure_index(sf_dir)
-    s = LocalSearcher(index_dir)
     qids, qtexts, docids = [], [], []
     for qid, text in SIMPLE_QUERIES:
-        d, _ = s.search(text, k=5, adjust_ties=False)
-        for di in d:
+        first = {d: round(sc, 4) for d, sc in _bm25_f64_scores(s, text).items()}
+        top = sorted(first.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for di, _ in top:
             qids.append(qid)
             qtexts.append(text)
             docids.append(di)
-    pairs = pa.table(
+    return pa.table(
         {
             "qid": pa.array(qids, type=pa.int32()),
             "query": qtexts,
             "doc_id": docids,
         }
     )
-    return extract_features(index_dir, pairs)
+
+
+def _ltr_round(feats) -> "Any":
+    """Collect the extractor Dataset to one table and round the float
+    features whose accumulation order differs between engines (bm25 round4
+    for the f32-vs-f64 gap; pure-f64 aggregates round6)."""
+    import pyarrow as pa
+
+    tables = [t for t in __import__("ray").get(
+        feats.materialize().to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables)
+    import numpy as np
+
+    for name, nd in [(n, 4) for n in _LTR_ROUND4] + [
+        (n, 6) for n in _LTR_ROUND6
+    ]:
+        i = tbl.column_names.index(name)
+        tbl = tbl.set_column(
+            i, name, pa.array(np.round(tbl[name].to_numpy(), nd))
+        )
+    return tbl
+
+
+def _ltr_features(sf_dir: str):
+    """LTR feature rows for (benchmark query x its top-5 deterministic BM25
+    docs), float features rounded for the SQL oracle (see
+    pipelines/ltr_sql.py); the raw extractor path is hand-oracle-tested in
+    tests/test_ltr_full_width.py."""
+    from anserini_ray.pipelines.ltr import extract_features
+    from anserini_ray.search import LocalSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    s = LocalSearcher(index_dir)
+    pairs = _ltr_pairs_f64(s, k=5)
+    return _ltr_round(extract_features(index_dir, pairs))
 
 
 def _index_tool(sf_dir: str, fn_name: str):
@@ -1055,8 +1094,9 @@ def _ltr_training_data(sf_dir: str):
     s = LocalSearcher(index_dir)
     lines = []
     for qid, text in SIMPLE_QUERIES:
-        d, _ = s.search(text, k=8, adjust_ties=False)
-        for di in d:
+        first = {d: round(sc, 4) for d, sc in _bm25_f64_scores(s, text).items()}
+        top = sorted(first.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        for di, _ in top:
             turn = int(di.rsplit(":", 1)[1])
             lines.append(f"{qid} 0 {di} {turn % 2}")
     tag = hashlib.sha1(f"{sf_dir}|qrels".encode()).hexdigest()[:12]
@@ -1065,13 +1105,20 @@ def _ltr_training_data(sf_dir: str):
         f.write("\n".join(lines) + "\n")
     topics = {str(qid): text for qid, text in SIMPLE_QUERIES}
     # qrels qids parse as strings; topics keyed to match
+    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from anserini_ray.sources.qrels import read_qrels
 
     q = read_qrels(qrels_path)
-    return ltr_training_data(index_dir, topics, q)
+    tbl = _ltr_round(ltr_training_data(index_dir, topics, q))
+    # qrels qids are strings; the SQL oracle emits integers
+    i = tbl.column_names.index("qid")
+    return tbl.set_column(
+        i, "qid",
+        pa.array(np.asarray(tbl["qid"].to_pylist(), dtype=np.int64),
+                 type=pa.int32()),
+    )
 
 
 def entry() -> Any:
@@ -1137,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from anserini_ray.pipelines import index_tools as _IT
+    from anserini_ray.pipelines import ltr_sql as _LTR_SQL
     from anserini_ray.pipelines import simple as S
     from anserini_ray.pipelines import training_data as TD
     from anserini_ray.sources.transcripts import TRANSCRIPTS_SQL
@@ -1185,6 +1233,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_axiom": S.axiom_topk_engine_sql(),
         "sdm_topk": S.sdm_topk_engine_sql(),
         "background_linking": S.bglink_topk_engine_sql(),
+        "ltr_features": _LTR_SQL.ltr_features_sql(k=5),
+        "ltr_training_data": _LTR_SQL.ltr_features_sql(k=8, with_label=True),
         "index_docids_sorted": _IT.DUMP_DOCIDS_SQL,
         "index_doc_lengths": _IT.DUMP_DOC_LENGTHS_SQL,
     }
