@@ -28,6 +28,61 @@ from ..state.manifest import IndexManifest
 from .norms import quantize_lengths
 
 
+class _SortedTermMap:
+    """dict-like (.get / .items / in) view over a term-sorted Arrow column
+    pair. Lookups binary-search the Arrow string array directly (~20 scalar
+    reads), so the whole vocabulary never materializes as Python objects —
+    the difference between ~50 MB of Arrow buffers and tens of GB of dict
+    entries on a realistic million-term vocabulary."""
+
+    __slots__ = ("_terms", "_vals", "_memo")
+
+    def __init__(self, terms: pa.Array, values: np.ndarray):
+        self._terms = terms
+        self._vals = values
+        self._memo: dict = {}
+
+    def _lookup(self, term: str) -> int | None:
+        t = self._terms
+        lo, hi = 0, len(t)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if t[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(t) and t[lo].as_py() == term:
+            return int(self._vals[lo])
+        return None
+
+    def get(self, term: str, default=None):
+        memo = self._memo
+        if term in memo:
+            v = memo[term]
+        else:
+            v = self._lookup(term)
+            if len(memo) < 200_000:
+                memo[term] = v
+        return default if v is None else v
+
+    def __contains__(self, term: str) -> bool:
+        return self.get(term) is not None
+
+    def __getitem__(self, term: str) -> int:
+        v = self.get(term)
+        if v is None:
+            raise KeyError(term)
+        return v
+
+    def __len__(self) -> int:
+        return len(self._terms)
+
+    def items(self):
+        vals = self._vals
+        for i, t in enumerate(self._terms):
+            yield t.as_py(), int(vals[i])
+
+
 class SegmentReader:
     def __init__(self, index_dir: str, segment_id: int, manifest: IndexManifest):
         self.segment_id = segment_id
@@ -143,13 +198,14 @@ class SegmentReader:
         ts = pq.read_table(
             os.path.join(index_dir, "termstats", f"segment_id={segment_id}"),
             columns=["term", "gdf", "gcf"],
-        )
-        self.global_df = dict(
-            zip(ts["term"].to_pylist(), ts["gdf"].to_numpy().tolist())
-        )
-        self.global_cf = dict(
-            zip(ts["term"].to_pylist(), ts["gcf"].to_numpy().tolist())
-        )
+        ).sort_by("term")
+        # Sorted-Arrow binary-search maps, NOT Python dicts: on a realistic
+        # vocabulary (1M terms x many segments) materializing dict entries
+        # costs tens of GB and minutes of load; the Arrow table stays
+        # compact and lookups are O(log V) with a hot-term memo.
+        terms_sorted = ts["term"].combine_chunks()
+        self.global_df = _SortedTermMap(terms_sorted, ts["gdf"].to_numpy())
+        self.global_cf = _SortedTermMap(terms_sorted, ts["gcf"].to_numpy())
 
     # ------------------------------------------------------------------ api
     def has_term(self, term: str) -> bool:

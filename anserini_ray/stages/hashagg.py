@@ -58,22 +58,6 @@ def _key_hash(table: pa.Table, keys: list[str], nparts: int) -> np.ndarray:
 
 
 @ray.remote
-def _local_combine(
-    table: pa.Table, keys: list[str], aggs, out_names, nparts: int
-) -> list[pa.Table]:
-    spec, produced = _agg_lists(keys, aggs, out_names, for_merge=False)
-    agg = table.select(
-        keys + sorted({c for _, c in aggs if c})
-    ).group_by(keys).aggregate(spec)
-    agg = agg.select(keys + produced).rename_columns(keys + out_names)
-    part = _key_hash(agg, keys, nparts)
-    order = np.argsort(part, kind="stable")
-    s = agg.take(pa.array(order))
-    bounds = np.searchsorted(part[order], np.arange(nparts + 1))
-    return [s.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(nparts)]
-
-
-@ray.remote
 def _merge_partition(keys, aggs, out_names, *tables: pa.Table) -> pa.Table:
     parts = [t for t in tables if t.num_rows]
     if not parts:
@@ -95,14 +79,26 @@ def hash_aggregate(
 
     aggs: list of (fn, col) with fn in count|sum|min|max (col=None for
     count). out_names: result column name per agg. Returns a Dataset with
-    columns keys + out_names. The input is materialized (its blocks become
-    combine tasks)."""
+    columns keys + out_names.
+
+    Shape: a streaming map_batches PRE-COMBINE runs inside the input
+    pipeline (so what gets materialized is key-cardinality-bounded per
+    block, never raw rows), then per-block partitioning + per-partition
+    merge tasks using the merge functions."""
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        spec, produced = _agg_lists(keys, aggs, out_names, for_merge=False)
+        agg = batch.select(
+            keys + sorted({c for _, c in aggs if c})
+        ).group_by(keys).aggregate(spec)
+        return agg.select(keys + produced).rename_columns(keys + out_names)
+
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nparts = nparts or max(2, min(32, cpus))
-    mat = ds.materialize()
+    mat = ds.map_batches(precombine, batch_format="pyarrow").materialize()
     refs = mat.to_arrow_refs()
     per_block = [
-        _local_combine.options(num_returns=nparts).remote(
+        _partition_combined.options(num_returns=nparts).remote(
             r, keys, aggs, out_names, nparts
         )
         for r in refs
@@ -114,3 +110,26 @@ def hash_aggregate(
         for p in range(nparts)
     ]
     return ray.data.from_arrow_refs(merged)
+
+
+@ray.remote
+def _partition_combined(
+    table: pa.Table, keys: list[str], aggs, out_names, nparts: int
+) -> list[pa.Table]:
+    """Partition an already-pre-combined block by crc32(keys) — combining
+    again with the MERGE functions first (a block may span multiple input
+    batches)."""
+    spec, produced = _agg_lists(keys, aggs, out_names, for_merge=True)
+    agg = (
+        table.group_by(keys)
+        .aggregate(spec)
+        .select(keys + produced)
+        .rename_columns(keys + out_names)
+    )
+    part = _key_hash(agg, keys, nparts)
+    order = np.argsort(part, kind="stable")
+    s = agg.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(nparts + 1))
+    return [
+        s.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(nparts)
+    ]
