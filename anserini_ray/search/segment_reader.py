@@ -83,6 +83,55 @@ class _SortedTermMap:
             yield t.as_py(), int(vals[i])
 
 
+class _TermRangeMap:
+    """term -> (row_lo, row_hi) posting-run ranges, binary-searched over
+    the sorted unique-term Arrow column (same rationale as _SortedTermMap:
+    no per-term Python objects at load)."""
+
+    __slots__ = ("_terms", "_bounds", "_memo")
+
+    def __init__(self, terms: pa.Array, bounds: np.ndarray):
+        self._terms = terms
+        self._bounds = bounds  # len(terms) + 1 row offsets
+        self._memo: dict = {}
+
+    def get(self, term: str, default=None):
+        memo = self._memo
+        if term in memo:
+            v = memo[term]
+        else:
+            t = self._terms
+            lo, hi = 0, len(t)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if t[mid].as_py() < term:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            v = None
+            if lo < len(t) and t[lo].as_py() == term:
+                v = (int(self._bounds[lo]), int(self._bounds[lo + 1]))
+            if len(memo) < 200_000:
+                memo[term] = v
+        return default if v is None else v
+
+    def __contains__(self, term: str) -> bool:
+        return self.get(term) is not None
+
+    def __len__(self) -> int:
+        return len(self._terms)
+
+    def items(self):
+        b = self._bounds
+        for i, t in enumerate(self._terms):
+            yield t.as_py(), (int(b[i]), int(b[i + 1]))
+
+    def values(self):
+        b = self._bounds
+        for i in range(len(self._terms)):
+            yield (int(b[i]), int(b[i + 1]))
+
+
 class SegmentReader:
     def __init__(self, index_dir: str, segment_id: int, manifest: IndexManifest):
         self.segment_id = segment_id
@@ -122,17 +171,25 @@ class SegmentReader:
         self._blk_min_dl = post["blk_min_dl"].combine_chunks()
         self._blk_doc_off = post["blk_doc_off"].combine_chunks()
         self._blk_tf_off = post["blk_tf_off"].combine_chunks()
-        # term -> contiguous row range [lo, hi)
-        terms = post["term"].to_pylist()
-        self._term_range: dict[str, tuple[int, int]] = {}
-        i = 0
-        n = len(terms)
-        while i < n:
-            j = i + 1
-            while j < n and terms[j] == terms[i]:
-                j += 1
-            self._term_range[terms[i]] = (i, j)
-            i = j
+        # term -> contiguous row range [lo, hi): run boundaries computed
+        # vectorized and looked up by binary search over the sorted Arrow
+        # term column — a Python dict over the posting dictionary costs tens
+        # of GB on a realistic (million-term) vocabulary
+        terms_col = post["term"].combine_chunks()
+        nrows = len(terms_col)
+        if nrows:
+            neq = pc.invert(
+                pc.equal(terms_col.slice(0, nrows - 1), terms_col.slice(1))
+            )
+            change = neq.to_numpy(zero_copy_only=False)
+            run_bounds = np.concatenate(
+                [[0], np.flatnonzero(change) + 1, [nrows]]
+            ).astype(np.int64)
+            uniq_terms = terms_col.take(pa.array(run_bounds[:-1]))
+        else:
+            run_bounds = np.zeros(1, dtype=np.int64)
+            uniq_terms = pa.array([], type=pa.string())
+        self._term_range = _TermRangeMap(uniq_terms, run_bounds)
 
         dm = pq.read_table(
             os.path.join(index_dir, "docmap", f"segment_id={segment_id}")
