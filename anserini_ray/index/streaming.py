@@ -189,7 +189,24 @@ class UnitWorker:
         first = last = None
         if t.num_rows:
             if self.verify_sorted:
-                _check_sorted(t)
+                try:
+                    _check_sorted(t)
+                except NotSortedError:
+                    # UNIT-LEVEL fallback (ROADMAP item): a unit that is
+                    # internally unsorted is sorted IN PLACE — ordinals are
+                    # positional, so per-unit sorting of intra-unit disorder
+                    # yields the same index a global sort would (concat of
+                    # per-unit sorts == global sort when only intra-unit
+                    # order is violated). Cross-unit overlap is still
+                    # detected by the driver's boundary check from the
+                    # markers, which then triggers the full sort-path
+                    # rebuild — that remains the only case that needs one.
+                    order = pc.sort_indices(
+                        t,
+                        sort_keys=[("conv_id", "ascending"),
+                                   ("turn_idx", "ascending")],
+                    )
+                    t = t.take(order)
             conv, turn = t["conv_id"], t["turn_idx"]
             first = _key_tuple(conv, turn, 0)
             last = _key_tuple(conv, turn, t.num_rows - 1)

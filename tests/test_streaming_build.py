@@ -123,9 +123,10 @@ def test_unit_resume_skips_finished(corpus, tmp_path):
         )
 
 
-def test_unsorted_input_falls_back_to_sort_path(tmp_path):
-    # shuffled rows: the streaming path must detect and fall back, producing
-    # the same index the sort path would
+def test_intra_unit_disorder_sorted_in_stream(tmp_path):
+    # shuffled rows WITHIN one unit: the streaming path sorts the unit in
+    # place (unit-level fallback) — no full sort-path rebuild, and the
+    # result equals what a globally sorted input produces
     src = str(tmp_path / "shuffled.parquet")
     t = pa.table(
         {
@@ -148,7 +149,56 @@ def test_unsorted_input_falls_back_to_sort_path(tmp_path):
     s = LocalSearcher(idx)
     ids, _ = s.search("city", k=10)
     assert set(ids) == {"c2:1", "c2:0"}
-    # fallback must not leave streaming unit markers behind
+    # handled by the STREAMING path: unit markers exist
+    assert glob.glob(os.path.join(idx, "units", "u*.json"))
+    # and the index equals a build over the pre-sorted input
+    srt = str(tmp_path / "sorted.parquet")
+    pq.write_table(
+        t.take(pa.compute.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )),
+        srt,
+    )
+    idx2 = str(tmp_path / "idx2")
+    m2 = build_index(
+        index_dir=idx2,
+        config=IndexConfig(seg_shift=12, assume_sorted=True),
+        input_paths=[srt],
+    )
+    s2 = LocalSearcher(idx2)
+    for q in ["city", "merge sort", "join"]:
+        d1, sc1 = s.search(q, k=10)
+        d2, sc2 = s2.search(q, k=10)
+        assert d1 == d2
+        assert list(map(float, sc1)) == list(map(float, sc2))
+
+
+def test_cross_unit_overlap_falls_back_to_sort_path(tmp_path):
+    # keys OVERLAP ACROSS UNITS (sorted within each row group, but unit 2's
+    # range interleaves unit 1's): per-unit sorting cannot fix this, so the
+    # driver boundary check must trigger the full sort-path rebuild
+    n = 600
+    files = []
+    for name, start in (("part-a.parquet", 0), ("part-b.parquet", 1)):
+        conv = [f"a{i:04d}" for i in range(start, n, 2)]
+        t = pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": pa.array([0] * len(conv), type=pa.int32()),
+                "text": ["merge sort city"] * len(conv),
+            }
+        )
+        path = str(tmp_path / name)
+        pq.write_table(t, path)
+        files.append(path)
+    idx = str(tmp_path / "idx")
+    m = build_index(
+        index_dir=idx,
+        config=IndexConfig(seg_shift=12, assume_sorted=True),
+        input_paths=files,
+    )
+    assert m.doc_count == n
+    # handled by the LEGACY sort path: no streaming unit markers remain
     assert not glob.glob(os.path.join(idx, "units", "u*.json"))
 
 
