@@ -1,0 +1,214 @@
+"""Pure-numpy media codecs — REAL decode paths for the multimodal stages.
+
+No imaging/audio libraries exist in this environment, but several media
+formats are simple enough to decode with `struct` + numpy alone, which
+turns the multimodal stages' decode step from a declared stub into real
+code for:
+
+- PPM (P6 binary RGB) and PGM (P5 binary gray) images — encode + decode
+- BMP (uncompressed 24-bit BI_RGB, bottom-up) images — decode
+- WAV (RIFF PCM, 8/16-bit, mono or interleaved multichannel) — encode +
+  decode
+
+plus numpy resampling kernels (nearest / bilinear image resize, audio
+window framing). Formats outside this set still raise NotImplementedError
+in the stages (documented); e.g. JPEG/PNG entropy coding is out of scope.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------ PPM/PGM
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM; (h, w) uint8 -> P5 PGM."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 3:
+        header = f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    elif img.ndim == 2:
+        header = f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    else:
+        raise ValueError("expected (h, w, 3) RGB or (h, w) gray uint8")
+    return header + img.tobytes()
+
+
+def _ppm_header(buf: bytes):
+    """Parse the P5/P6 header (with comment lines) -> (magic, w, h, offset)."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    magic = buf[:2].decode()
+    fields = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":  # comment to end of line
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        fields.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM/PGM supported")
+    return magic, w, h, i
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary P6 -> (h, w, 3) uint8; P5 -> (h, w) uint8."""
+    magic, w, h, off = _ppm_header(buf)
+    ch = 3 if magic == "P6" else 1
+    arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=off)
+    return arr.reshape((h, w, 3) if ch == 3 else (h, w)).copy()
+
+
+# --------------------------------------------------------------------- BMP
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB.
+
+    Handles the standard bottom-up row order and 4-byte row padding;
+    top-down (negative height) files too."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        src = data_off + r * row_bytes
+        row = np.frombuffer(buf, dtype=np.uint8, count=w * 3, offset=src)
+        dst = r if top_down else h - 1 - r
+        out[dst] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    pad = b"\x00" * (row_bytes - w * 3)
+    for r in range(h - 1, -1, -1):
+        rows.append(img[r, :, ::-1].tobytes() + pad)
+    return header + b"".join(rows)
+
+
+# ------------------------------------------------------------------ resize
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ys][:, xs]
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample (align_corners=False convention)."""
+    h, w = img.shape[:2]
+    img_f = img.astype(np.float32)
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(y - y0, 0, 1)[:, None]
+    wx = np.clip(x - x0, 0, 1)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    top = img_f[y0][:, x0] * (1 - wx) + img_f[y0][:, x1] * wx
+    bot = img_f[y1][:, x0] * (1 - wx) + img_f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------- WAV
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, ch) samples -> RIFF PCM WAV bytes."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate,
+            ch * 2, 16,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF PCM WAV -> (samples float32 in [-1, 1] shaped (n,) or (n, ch),
+    sample_rate). Walks chunks, so extra chunks (LIST etc.) are fine."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, i)
+        body = buf[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, sr, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if ch > 1:
+        s = s[: (len(s) // ch) * ch].reshape(-1, ch)
+    return s, sr
+
+
+def frame_windows(samples: np.ndarray, sample_rate: int,
+                  window_s: float, hop_s: float) -> np.ndarray:
+    """(n,) mono samples -> (n_windows, win_len) frames (tail dropped)."""
+    win = max(1, int(round(window_s * sample_rate)))
+    hop = max(1, int(round(hop_s * sample_rate)))
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    n = (len(samples) - win) // hop + 1 if len(samples) >= win else 0
+    if n <= 0:
+        return np.empty((0, win), dtype=np.float32)
+    idx = np.arange(win)[None, :] + (np.arange(n) * hop)[:, None]
+    return samples[idx].astype(np.float32)

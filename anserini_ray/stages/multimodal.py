@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (the image/audio libraries are not
-available in this environment): ``decoder="none"`` raises
-NotImplementedError at the decode call, ``decoder="fake"`` is a
-deterministic stand-in (hash-seeded pixel/sample statistics) so the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is real
-and tested end-to-end.
+Decoder modes:
+- ``decoder="numpy"`` — REAL decoding for the formats the pure-numpy
+  codecs cover (PPM/PGM and uncompressed 24-bit BMP images, RIFF PCM WAV
+  audio; see stages/codecs.py): real pixels/samples, real bilinear
+  resize, real audio windowing. Formats needing entropy coders (JPEG/PNG/
+  MP3/MP4) still raise NotImplementedError — those libraries are absent
+  in this environment (declared).
+- ``decoder="fake"`` — deterministic stand-in (hash-seeded statistics) so
+  the Ray-side plumbing — schema, batch sizing, actor signature, output
+  layout — is testable for arbitrary media types.
+- ``decoder="none"`` — raises at the decode call.
 
 Schema convention:
     payload: binary        the encoded media bytes
@@ -82,6 +87,42 @@ class MediaFeatureExtract:
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
         if self.decoder == "fake":
             return _fake_decode(payload, media_type)
+        if self.decoder == "numpy":
+            from . import codecs
+
+            if payload[:2] in (b"P5", b"P6"):
+                img = codecs.decode_ppm(payload)
+                gray = img.mean(axis=2) if img.ndim == 3 else img
+                hist, _ = np.histogram(
+                    gray, bins=self.feature_dim, range=(0, 256)
+                )
+                return (hist / max(1, gray.size)).astype(np.float32)
+            if payload[:2] == b"BM":
+                img = codecs.decode_bmp(payload)
+                hist, _ = np.histogram(
+                    img.mean(axis=2), bins=self.feature_dim, range=(0, 256)
+                )
+                return (hist / max(1, img.shape[0] * img.shape[1])).astype(
+                    np.float32
+                )
+            if payload[:4] == b"RIFF":
+                samples, _sr = codecs.decode_wav(payload)
+                if samples.ndim > 1:
+                    samples = samples.mean(axis=1)
+                # fixed-dim RMS envelope
+                n = len(samples)
+                if n == 0:
+                    return np.zeros(self.feature_dim, dtype=np.float32)
+                bounds = np.linspace(0, n, self.feature_dim + 1).astype(int)
+                sq = np.concatenate([[0.0], np.cumsum(samples.astype(np.float64) ** 2)])
+                seg = np.maximum(bounds[1:] - bounds[:-1], 1)
+                return np.sqrt(
+                    (sq[bounds[1:]] - sq[bounds[:-1]]) / seg
+                ).astype(np.float32)
+            raise NotImplementedError(
+                f"numpy decoder covers PPM/PGM, 24-bit BMP and PCM WAV; "
+                f"{media_type!r} payloads need an external library"
+            )
         raise NotImplementedError(
             "real media decoding requires image/audio libraries not present "
             "in this environment; plug a decoder in here"
@@ -140,6 +181,22 @@ class ImageResize:
         self.decoder = decoder
 
     def _resize(self, payload: bytes) -> bytes:
+        if self.decoder == "numpy":
+            from . import codecs
+
+            if payload[:2] in (b"P5", b"P6"):
+                img = codecs.decode_ppm(payload)
+                return codecs.encode_ppm(
+                    codecs.resize_bilinear(img, self.h, self.w)
+                )
+            if payload[:2] == b"BM":
+                img = codecs.decode_bmp(payload)
+                return codecs.encode_bmp(
+                    codecs.resize_bilinear(img, self.h, self.w)
+                )
+            raise NotImplementedError(
+                "numpy resize covers PPM/PGM and 24-bit BMP payloads"
+            )
         if self.decoder != "fake":
             raise NotImplementedError(
                 "real image resize requires an imaging library not present "
@@ -240,7 +297,48 @@ class AudioWindow:
         self.hop_s = hop_s
         self.decoder = decoder
 
+    def _wav_windows(self, batch: pa.Table) -> pa.Table:
+        """REAL path (decoder='numpy'): decode RIFF PCM WAV, frame into
+        window_s/hop_s sample windows, re-encode each window as WAV."""
+        from . import codecs
+
+        ids, widx, starts, payloads = [], [], [], []
+        for iid, p, mt in zip(
+            batch["item_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["media_type"].to_pylist(),
+        ):
+            if not mt.startswith("audio/") or p[:4] != b"RIFF":
+                continue
+            samples, sr = codecs.decode_wav(p)
+            if samples.ndim > 1:
+                samples = samples.mean(axis=1)
+            frames = codecs.frame_windows(samples, sr, self.window_s, self.hop_s)
+            for i in range(frames.shape[0]):
+                ids.append(iid)
+                widx.append(i)
+                starts.append(i * self.hop_s)
+                payloads.append(
+                    codecs.encode_wav(
+                        np.clip(frames[i] * 32768.0, -32768, 32767).astype(
+                            np.int16
+                        ),
+                        sr,
+                    )
+                )
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(widx, type=pa.int32()),
+                pa.array(starts, type=pa.float64()),
+                pa.array(payloads, type=pa.large_binary()),
+            ],
+            names=["item_id", "window_idx", "start_s", "payload"],
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "numpy":
+            return self._wav_windows(batch)
         if self.decoder != "fake":
             raise NotImplementedError(
                 "real audio decoding requires an audio library not present "
