@@ -7,6 +7,10 @@
       -topicreader {tsvint,tsvstring,trec,microblog} -output <run.txt> \\
       [-bm25 [-bm25.k1 K] [-bm25.b B] | -qld | -qljm | -inl2 | -spl | -f2exp | -f2log] \\
       [-rm3] [-bm25prf] [-sdm] [-hits N] [-skipexists]
+  python -m anserini_ray.cli dedup  -input <parquet> -output <dir> \
+      -method {exact,minhash,simhash} [-threshold J]
+  python -m anserini_ray.cli split  -input <parquet> -output <dir> \
+      [-weights 80,10,10]
 
 (Reference analogs: `IndexCollection.main` args at IndexArgs.java,
 `SearchCollection.main` args at SearchArgs.java.) The CLI owns the Ray
@@ -277,12 +281,73 @@ def cmd_search(argv) -> int:
     return 0
 
 
+def cmd_dedup(argv) -> int:
+    """Training-data dedup over a parquet table of (id, text) documents."""
+    p = argparse.ArgumentParser(prog="anserini_ray dedup")
+    p.add_argument("-input", required=True, help="parquet file/dir")
+    p.add_argument("-output", required=True, help="output parquet dir")
+    p.add_argument("-method", default="exact",
+                   choices=["exact", "minhash", "simhash"])
+    p.add_argument("-idCol", default="doc_id")
+    p.add_argument("-textCol", default="text")
+    p.add_argument("-threshold", type=float, default=0.7)
+    p.add_argument("-threads", type=int, default=None)
+    a = p.parse_args(argv)
+    _init_ray(a.threads)
+    import ray.data
+
+    from .stages import dedup as D
+
+    ds = ray.data.read_parquet(a.input, columns=[a.idCol, a.textCol])
+    if a.method == "exact":
+        out = D.exact_dedup(ds, text_col=a.textCol, id_col=a.idCol)
+    elif a.method == "minhash":
+        out = D.minhash_lsh_dedup(
+            ds, text_col=a.textCol, id_col=a.idCol,
+            threshold=a.threshold, verify=True,
+        )
+    else:
+        out = D.simhash_dedup(
+            ds, text_col=a.textCol, id_col=a.idCol, verify=True
+        )
+    out.write_parquet(a.output)
+    return 0
+
+
+def cmd_split(argv) -> int:
+    """Deterministic md5 train/val/test split assignment."""
+    p = argparse.ArgumentParser(prog="anserini_ray split")
+    p.add_argument("-input", required=True)
+    p.add_argument("-output", required=True)
+    p.add_argument("-idCol", default="doc_id")
+    p.add_argument("-weights", default="80,10,10",
+                   help="train,val,test percentages summing to 100")
+    p.add_argument("-threads", type=int, default=None)
+    a = p.parse_args(argv)
+    _init_ray(a.threads)
+    import ray.data
+
+    from .stages.corpus_ops import hash_split
+
+    w = tuple(int(x) for x in a.weights.split(","))
+    ds = ray.data.read_parquet(a.input, columns=[a.idCol])
+    hash_split(ds, id_col=a.idCol, weights=w).write_parquet(a.output)
+    return 0
+
+
+_COMMANDS = {"index": None, "search": None, "dedup": None, "split": None}
+
+
 def main() -> int:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("index", "search"):
+    if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(__doc__)
         return 2
     if sys.argv[1] == "index":
         return cmd_index(sys.argv[2:])
+    if sys.argv[1] == "dedup":
+        return cmd_dedup(sys.argv[2:])
+    if sys.argv[1] == "split":
+        return cmd_split(sys.argv[2:])
     return cmd_search(sys.argv[2:])
 
 
