@@ -556,7 +556,12 @@ _HI_SUFFIXES = [
 
 
 def hindi_light_stem(word: str) -> str:
-    if len(word) < 4:
+    """Lucene HindiStemmer (Ramanathan & Rao light stemmer): strip the
+    longest matching suffix from the fixed 5/4/3/2/1-char table; a suffix
+    of length L applies only when len(word) > L + 1 (equivalently the stem
+    keeps >= 2 chars). Full suffix table; the accompanying HindiNormalizer
+    remains simplified to nukta removal (declared)."""
+    if len(word) < 3:
         return word
     for suf in _HI_SUFFIXES:
         if word.endswith(suf) and len(word) - len(suf) >= 2:
