@@ -1158,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": TD.embedding_near_dup,
         "decontaminate": TD.decontaminate,
         "hash_split": TD.hash_split,
+        "pack_sequences": TD.pack_sequences,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
@@ -1212,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
         # round-3 oracle flips
         "decontaminate": TD.DECONTAMINATE_SQL,
+        "pack_sequences": TD.PACK_SEQUENCES_SQL,
         "hash_split": TD.HASH_SPLIT_SQL,
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,

@@ -640,6 +640,45 @@ HASH_SPLIT_SQL = """
 """
 
 
+def pack_sequences(sf_dir: str):
+    """Greedy 128-token sequence packing over the documents table (groups of
+    256 ids; see stages/corpus_ops.pack_sequences for the deterministic
+    distributed contract)."""
+    from ..stages.corpus_ops import pack_sequences as _pack
+
+    return _pack(
+        _docs(sf_dir, ["doc_id", "text"]), budget=128, group_size=256
+    )
+
+
+# Mirror of the greedy scan: a recursive CTE walks each pack group in id
+# order carrying (seq_idx, acc) — new sequence whenever acc + tokens would
+# exceed the budget (oversized docs get their own sequence).
+PACK_SEQUENCES_SQL = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id // 256 AS pack_group,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id // 256 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    walk(pack_group, rn, doc_id, n_tokens, seq_idx, acc) AS (
+      SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.acc + t.n_tokens > 128
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.acc + t.n_tokens > 128
+                  THEN t.n_tokens ELSE w.acc + t.n_tokens END
+      FROM walk w
+      JOIN t ON t.pack_group = w.pack_group AND t.rn = w.rn + 1
+    )
+    SELECT doc_id, pack_group, seq_idx, n_tokens FROM walk
+"""
+
+
 # ------------------------------------------------- events windowed aggregate
 def events_windowed(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + sum(value) (the

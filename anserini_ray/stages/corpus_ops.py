@@ -68,6 +68,72 @@ def decontaminate(
     return ds.map_batches(check, batch_format="pyarrow")
 
 
+def pack_sequences(
+    ds,
+    budget: int = 512,
+    group_size: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Greedy fixed-token-budget sequence packing — the standard LLM
+    training-data step of concatenating documents into budget-sized
+    sequences.
+
+    Deterministic distributed contract: documents pack greedily in id order
+    WITHIN fixed id-range groups (group = id // group_size), so sequences
+    never span groups and the assignment is independent of batch/partition
+    boundaries (each map task covers whole groups by construction when the
+    input is id-partitioned; here token counting is a narrow map and the
+    greedy scan runs per group). A document longer than the budget gets its
+    own sequence. Returns (id, pack_group, seq_idx, n_tokens): seq_idx is
+    the sequence number within the group."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len((t or "").split()) for t in batch[text_col].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        ids = np.asarray(batch[id_col].to_pylist())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pack_group": pa.array(
+                    (ids.astype(np.int64) // group_size).astype(np.int64)
+                ),
+                "n_tokens": pa.array(n),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group[id_col].to_pylist()), kind="stable")
+        g = group.take(pa.array(order))
+        toks = g["n_tokens"].to_numpy()
+        seq_idx = np.empty(len(toks), dtype=np.int64)
+        cur = 0
+        acc = 0
+        for i, t in enumerate(toks):
+            if i > 0 and acc + t > budget:
+                cur += 1
+                acc = 0
+            acc += int(t)
+            seq_idx[i] = cur
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "pack_group": g["pack_group"],
+                "seq_idx": pa.array(seq_idx),
+                "n_tokens": g["n_tokens"],
+            }
+        )
+
+    return counted.groupby("pack_group").map_groups(
+        pack_group, batch_format="pyarrow"
+    )
+
+
 SPLIT_NAMES = ("train", "val", "test")
 
 

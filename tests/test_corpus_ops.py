@@ -62,3 +62,37 @@ def test_hash_split_deterministic_and_proportional(ray_session):
     # rerun identical (determinism across executions)
     rows2 = hash_split(docs).take_all()
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_pack_sequences_greedy_contract(ray_session):
+    from anserini_ray.stages.corpus_ops import pack_sequences
+
+    docs = _ds(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 1024],
+            "text": [
+                "a b c",            # 3
+                "d e f g",          # 4  -> seq 0 (3+4=7 <= 8)
+                "h i",              # 2  -> seq 1 (7+2 > 8)
+                " ".join(["x"] * 12),  # 12 > budget -> own seq 2
+                "y",                # 1  -> seq 3 (new after oversized)
+                "z z z",            # different group -> seq 0
+            ],
+        }
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(
+        docs, budget=8, group_size=1024
+    ).take_all()}
+    assert rows[0]["seq_idx"] == 0 and rows[1]["seq_idx"] == 0
+    assert rows[2]["seq_idx"] == 1
+    assert rows[3]["seq_idx"] == 2 and rows[3]["n_tokens"] == 12
+    assert rows[4]["seq_idx"] == 3
+    assert rows[1024]["pack_group"] == 1 and rows[1024]["seq_idx"] == 0
+    # per-sequence token totals never exceed the budget except for
+    # single-oversized-document sequences
+    import collections
+    per_seq = collections.defaultdict(list)
+    for r in rows.values():
+        per_seq[(r["pack_group"], r["seq_idx"])].append(r["n_tokens"])
+    for toks in per_seq.values():
+        assert sum(toks) <= 8 or len(toks) == 1
