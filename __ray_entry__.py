@@ -1045,8 +1045,13 @@ def _ltr_round(feats) -> "Any":
     for the f32-vs-f64 gap; pure-f64 aggregates round6)."""
     import pyarrow as pa
 
-    tables = [t for t in __import__("ray").get(
-        feats.materialize().to_arrow_refs()) if t.num_rows]
+    import ray
+
+    tables = [
+        t
+        for t in ray.get(feats.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
     tbl = pa.concat_tables(tables)
     import numpy as np
 
