@@ -659,9 +659,9 @@ def _empty_subblock_table() -> pa.Table:
 @ray.remote
 def _ts_local_combine(table: pa.Table, nparts: int) -> list[pa.Table]:
     """Per-block combine + hash partition: pyarrow C++ hash-aggregate the
-    block's (term, df, cf), then split by crc32(term) % nparts. Returns one
-    sub-table per partition."""
-    import zlib
+    block's (term, df, cf), then split by a vectorized Arrow-buffer hash of
+    term % nparts (no per-row Python). Returns one sub-table per partition."""
+    from anserini_ray.stages.hashagg import vectorized_key_hash
 
     agg = (
         table.select(["term", "df", "cf"])
@@ -669,12 +669,7 @@ def _ts_local_combine(table: pa.Table, nparts: int) -> list[pa.Table]:
         .aggregate([("df", "sum"), ("cf", "sum")])
         .rename_columns(["term", "gdf", "gcf"])
     )
-    terms = agg["term"].to_pylist()
-    part = np.fromiter(
-        (zlib.crc32(t.encode()) % nparts for t in terms),
-        dtype=np.int64,
-        count=len(terms),
-    )
+    part = vectorized_key_hash(agg, ["term"], nparts)
     order = np.argsort(part, kind="stable")
     sorted_tbl = agg.take(pa.array(order))
     bounds = np.searchsorted(part[order], np.arange(nparts + 1))
