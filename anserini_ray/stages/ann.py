@@ -41,6 +41,22 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return flat.reshape(len(batch), dim)
 
 
+def _select_topk_rows(key: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-kk rows by the FINAL ranking key (key desc, id asc).
+    `key` must already be rounded when the merge ranks on rounded cosines —
+    selecting by raw cosine here can drop a smaller-id doc tied at the rounded
+    k-th boundary (ADVICE r3). O(n) argpartition to the boundary value, then
+    an exact lexsort of only the >= boundary tie group."""
+    n = key.shape[0]
+    if n <= kk:
+        return np.arange(n)
+    cand = np.argpartition(-key, kk - 1)[:kk]
+    boundary = key[cand].min()
+    group = np.flatnonzero(key >= boundary)
+    order = np.lexsort((ids[group], -key[group]))
+    return group[order[:kk]]
+
+
 def brute_force_cosine_topk(
     ds,
     query_vectors: np.ndarray,
@@ -66,7 +82,8 @@ def brute_force_cosine_topk(
         kk = min(k, len(ids))
         for qi in range(qm.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            key = np.round(col, round_decimals) if round_decimals is not None else col
+            top = _select_topk_rows(key, ids, kk)
             for t in top:
                 out_q.append(qi)
                 out_id.append(int(ids[t]))
@@ -167,7 +184,9 @@ def lsh_bucket_topk(
             rows = np.flatnonzero(hit[:, qi])
             kk = min(k, rows.size)
             if kk and rows.size > kk:  # per-batch partial top-k only
-                rows = rows[np.argpartition(-sims[rows, qi], kk - 1)[:kk]]
+                col = sims[rows, qi]
+                key = np.round(col, round_decimals) if round_decimals is not None else col
+                rows = rows[_select_topk_rows(key, ids[rows], kk)]
             for r in rows:
                 out_q.append(qi)
                 out_id.append(int(ids[r]))
@@ -466,7 +485,9 @@ def ivf_topk(
             rows = np.flatnonzero(hit[:, qi])
             kk = min(k, rows.size)
             if kk and rows.size > kk:  # per-batch partial top-k only
-                rows = rows[np.argpartition(-sims[rows, qi], kk - 1)[:kk]]
+                col = sims[rows, qi]
+                key = np.round(col, round_decimals) if round_decimals is not None else col
+                rows = rows[_select_topk_rows(key, ids[rows], kk)]
             for r in rows:
                 out_q.append(qi)
                 out_id.append(int(ids[r]))

@@ -135,3 +135,40 @@ def test_optimize_mixed_positional_runs_drop_positions(ray_session):
     both = pa.Table.from_pylist([run_row(0, 4, True), run_row(10, 3, True)])
     out2 = _compact_group(both)
     assert len(out2["pos_blob"][0].as_py()) > 0
+
+
+def test_ann_partial_topk_respects_rounded_tie_boundary(ray_session):
+    """Round-4 ADVICE fix: per-batch partial top-k must select by the FINAL
+    ranking key (rounded cosine desc, id asc), not raw cosine — a doc tied at
+    the rounded k-th boundary with a smaller id must win even when its raw
+    cosine is lower."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from anserini_ray.stages.ann import brute_force_cosine_topk, ivf_topk
+
+    def vec(c):  # unit vector at cosine c to the query [1, 0]
+        return [c, float(np.sqrt(1.0 - c * c))]
+
+    # id=10 has the higher RAW cosine; both round to 0.5000 at 4 decimals,
+    # so the final key prefers id=3. Old raw-cosine argpartition kept id=10.
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([10, 3], type=pa.int64()),
+            "embedding": [vec(0.50004), vec(0.50001)],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)  # one batch -> the per-batch truncation path
+    q = np.array([[1.0, 0.0]])
+
+    out = brute_force_cosine_topk(ds, q, k=1, round_decimals=4)
+    assert out["vec_id"].to_pylist() == [3]
+    assert out["cosine"].to_pylist() == [0.5]
+
+    # degenerate-exact IVF (nprobe == nlist) shares the same selection path
+    out_ivf = ivf_topk(
+        ds, q, k=1, nlist=1, nprobe=1,
+        centroids=np.array([[1.0, 0.0]]), round_decimals=4,
+    )
+    assert out_ivf["vec_id"].to_pylist() == [3]
