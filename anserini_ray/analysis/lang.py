@@ -413,8 +413,12 @@ class LanguageAnalyzer:
         # and are handled by normalization)
         self._token_re = {
             "ar": re.compile("[\u0600-\u06FF0-9A-Za-z]+"),
-            "hi": re.compile("[\u0900-\u097F0-9A-Za-z]+"),
-            "bn": re.compile("[\u0980-\u09FF0-9A-Za-z]+"),
+            # letters/marks/digits only \u2014 danda (\u0964\u0965 U+0964-5, \u09F7) and
+            # currency/section signs are UAX#29 punctuation, never words
+            "hi": re.compile("[\u0900-\u0963\u0966-\u096F\u0971-\u097F"
+                             "0-9A-Za-z]+"),
+            "bn": re.compile("[\u0980-\u09E3\u09E6-\u09F1"
+                             "0-9A-Za-z]+"),
         }.get(language, _WORD_RUN)
         self._memo: dict[str, str | None] = {}
 
@@ -440,11 +444,13 @@ class LanguageAnalyzer:
             if not tok or tok in self.stopwords:
                 return None
         elif self.language == "hi":
-            tok = _HI_NUKTA.sub("", tok)
+            tok = _HI_NUKTA.sub("", tok).translate(_HI_DIGITS)
             if not tok or tok in self.stopwords:
                 return None
         elif self.language == "bn":
-            tok = _BN_NUKTA.sub("", tok)
+            # Lucene chain order: digits/Indic compose → BengaliNormalizer
+            # → THEN the stop filter (stop set stored normalized).
+            tok = bengali_normalize(bengali_indic_normalize(tok))
             if not tok or tok in self.stopwords:
                 return None
         tok = self.stem(tok)
@@ -542,6 +548,7 @@ HINDI_STOP_WORDS = frozenset(
 )
 
 _HI_NUKTA = re.compile("़")  # nukta
+_HI_DIGITS = str.maketrans("०१२३४५६७८९", "0123456789")  # DecimalDigitFilter
 _HI_SUFFIXES = [
     "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां",
     "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
@@ -570,11 +577,25 @@ def hindi_light_stem(word: str) -> str:
 
 
 # ------------------------------------------------------------ Bengali (bn)
-# SIMPLIFIED port of Lucene's BengaliAnalyzer (IndicNormalizer +
-# BengaliNormalizer + stop set + BengaliStemmer): normalization reduced to
-# nukta removal; the stemmer strips common case/plural/classifier suffixes
-# by descending length (documented simplification — no fixtures exist to
-# golden-verify).
+# Lucene BengaliAnalyzer chain (selected by `-language bn`,
+# J/index/IndexCollection.java:763): tokenize → lowercase → decimal-digit
+# fold → IndicNormalizer → BengaliNormalizer → stop set → BengaliStemmer.
+#
+# Full rule-set implementation from the PUBLIC algorithms Lucene's filters
+# implement (no Lucene source is available in this sandbox, so the rules are
+# implemented from their published specifications, not transliterated):
+#   * IndicNormalizer (Bengali script): compose consonant+nukta pairs into
+#     their precomposed codepoints (ড় ঢ় য়).
+#   * BengaliNormalizer: the normalization table of UzZaman & Khan, "A
+#     Double Metaphone encoding for Bangla and its application in spelling
+#     checker" (2005) — chandrabindu deletion, dirgho→rossho i/u kar, khio
+#     cluster (ক্ষ), nga→anusvara, ja-phala and ba-phala cluster rewrites.
+#   * BengaliStemmer: the descending-length suffix table of Mahmud et al.,
+#     "A rule based approach for a Bengali stemmer" (2014) — verb
+#     inflections + case/plural/classifier endings, longest group first,
+#     one strip, each L-char suffix gated on len(word) > L+1.
+# The stop set remains a curated high-frequency list (declared; Lucene
+# ships a ~400-word resource file we do not copy).
 
 BENGALI_STOP_WORDS = frozenset(
     """এই ও থেকে করে না হয় যে তার এবং বা আর কি এক এর জন্য সে তা হবে
@@ -583,20 +604,138 @@ BENGALI_STOP_WORDS = frozenset(
     এখন তখন কেন কীভাবে কোথায় কখন""".split()
 )
 
-_BN_NUKTA = re.compile("়")
-_BN_SUFFIXES = [
-    "গুলোতে", "গুলিতে", "দেরকে",
-    "গুলো", "গুলি", "দের", "েদের", "খানা", "খানি",
-    "টিতে", "টাতে",
-    "েতে", "কে", "টা", "টি", "রা", "ের", "েরা",
-    "ে", "র", "ও",
-]
+# IndicNormalizer composition for Bengali: base consonant + nukta (U+09BC)
+# → precomposed form.
+_BN_NUKTA_COMPOSE = {
+    "ড়": "ড়",  # ড + ় → ড়
+    "ঢ়": "ঢ়",  # ঢ + ় → ঢ়
+    "য়": "য়",  # য + ় → য়
+}
+_BN_NUKTA_RE = re.compile("[ডঢয]়")
+_BN_DIGITS = str.maketrans("০১২৩৪৫৬৭৮৯",
+                           "0123456789")
+
+_BN_CHANDRABINDU = "ঁ"
+_BN_HOSHONTO = "্"
 
 
-def bengali_light_stem(word: str) -> str:
-    if len(word) < 4:
-        return word
-    for suf in _BN_SUFFIXES:
-        if word.endswith(suf) and len(word) - len(suf) >= 2:
-            return word[: -len(suf)]
+def bengali_indic_normalize(word: str) -> str:
+    """Bengali-script IndicNormalizer step: fold Bengali decimal digits to
+    ASCII (DecimalDigitFilter) and compose nukta pairs; a dangling nukta
+    (no composable base) is dropped."""
+    word = word.translate(_BN_DIGITS)
+    if "়" in word:
+        word = _BN_NUKTA_RE.sub(lambda m: _BN_NUKTA_COMPOSE[m.group(0)], word)
+        word = word.replace("়", "")
     return word
+
+
+def bengali_normalize(word: str) -> str:
+    """UzZaman–Khan Bangla normalization (the BengaliNormalizer rule set),
+    applied as a single left-to-right pass over the buffer:
+
+    - chandrabindu (ঁ) deleted;
+    - dirgho i-kar (ী) → rossho i-kar (ি); dirgho u-kar (ূ) → rossho
+      u-kar (ু);
+    - khio: word-initial ক্ষ → খ, medial ক্ষ → কখ;
+    - nga (ঙ) → anusvara (ং);
+    - ja-phala (C + ্ + য): on the first consonant → C + ে (a following
+      া-kar is absorbed); medial → the cluster mark dropped (C doubled
+      phonetically; the encoding keeps the single consonant);
+    - ba-phala (C + ্ + ব): word-initial cluster → silent (dropped);
+      medial → dropped (gemination normalized away).
+    """
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == _BN_CHANDRABINDU:
+            del s[i]
+            continue
+        if c == "ী":  # ী → ি
+            s[i] = "ি"
+        elif c == "ূ":  # ূ → ু
+            s[i] = "ু"
+        elif c == "ক" and i + 2 < len(s) and s[i + 1] == _BN_HOSHONTO \
+                and s[i + 2] == "ষ":  # ক্ষ
+            if i == 0:
+                s[i] = "খ"          # → খ
+                del s[i + 1: i + 3]
+            else:
+                s[i + 1] = "খ"      # → কখ
+                del s[i + 2]
+        elif c == "ঙ":  # ঙ → ং
+            s[i] = "ং"
+        elif c == "য" and i >= 2 and s[i - 1] == _BN_HOSHONTO:  # ja-phala
+            if i == 2:
+                # first-consonant ja-phala: C্য(া) → Cে
+                s[i - 1] = "ে"
+                if i + 1 < len(s) and s[i + 1] == "া":
+                    del s[i + 1]
+                del s[i]
+                continue
+            del s[i - 1: i + 1]
+            i -= 1
+            continue
+        elif c == "ব" and i >= 2 and s[i - 1] == _BN_HOSHONTO:  # ba-phala
+            del s[i - 1: i + 1]
+            i -= 1
+            continue
+        i += 1
+    return "".join(s)
+
+
+# BengaliStemmer suffix table (Mahmud et al. 2014): groups by suffix length
+# 8..1, first match in group order wins, one strip total. An L-char suffix
+# applies only when len(word) > L + 1 (stem keeps >= 2 chars). য় below is
+# the precomposed U+09DF (guaranteed by the compose pass at module load).
+_BN_STEM_GROUPS: list[list[str]] = [
+    ["িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন",
+     "ইয়াছিলেন"],
+    ["িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা", "িয়াছিলি",
+     "য়েদেরকে"],
+    ["িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন",
+     "েদেরকে"],
+    ["িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা",
+     "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে"],
+    ["িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা",
+     "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের"],
+    ["লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম",
+     "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি",
+     "ইবি", "বেন", "ছিল", "য়েছ", "য়ের", "েরা", "দের"],
+    ["িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা",
+     "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "রা", "কে"],
+    ["ি", "ী", "া", "ো", "ে", "ব", "ত"],
+]
+# Self-heal source encoding: compose any decomposed nukta forms the editor
+# may have produced, then verify every group's suffix lengths are uniform.
+_BN_STEM_GROUPS = [
+    [bengali_indic_normalize(suf) for suf in group] for group in _BN_STEM_GROUPS
+]
+for _gi, _group in enumerate(_BN_STEM_GROUPS):
+    _L = 8 - _gi
+    assert all(len(_suf) == _L for _suf in _group), (
+        f"bn stem group {_L}: lengths {[len(x) for x in _group]}")
+del _gi, _group, _L
+
+
+def bengali_stem(word: str) -> str:
+    n = len(word)
+    for gi, group in enumerate(_BN_STEM_GROUPS):
+        L = 8 - gi
+        if n > L + 1:
+            for suf in group:
+                if word.endswith(suf):
+                    return word[:-L]
+    return word
+
+
+# Back-compat alias (pre-round-4 name).
+bengali_light_stem = bengali_stem
+
+# Stop matching happens AFTER normalization in the Lucene chain, so store
+# the curated stop set in normalized form (also self-heals any decomposed
+# nukta forms in this source file's literals).
+BENGALI_STOP_WORDS = frozenset(
+    bengali_normalize(bengali_indic_normalize(w)) for w in BENGALI_STOP_WORDS
+)

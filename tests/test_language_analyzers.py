@@ -131,8 +131,75 @@ def test_arabic_index_end_to_end(ray_session, tmp_path):
 def test_bengali_chain():
     a = make_analyzer({"language": "bn"})
     assert a.analyze("বইগুলো") == ["বই"]       # classifier plural
-    assert a.analyze("ছেলেদের") == ["ছেলে"]    # genitive plural
+    # longest-first: 4-char েদের strips before 3-char দের (full table)
+    assert a.analyze("ছেলেদের") == ["ছেল"]
     assert a.analyze("এই বই") == ["বই"]        # stopword dropped
+
+
+def test_bengali_normalizer_full_rule_set():
+    """UzZaman–Khan normalization rules, one golden per rule (round-4 bn
+    full-fidelity work, mirroring the r3 fr/de rule goldens)."""
+    from anserini_ray.analysis.lang import (
+        bengali_indic_normalize,
+        bengali_normalize,
+    )
+
+    def norm(w):
+        return bengali_normalize(bengali_indic_normalize(w))
+
+    cases = {
+        "চাঁদ": "চাদ",          # chandrabindu deleted
+        "নদী": "নদি",           # dirgho i-kar -> rossho
+        "মূল": "মুল",           # dirgho u-kar -> rossho
+        "ক্ষমা": "খমা",         # word-initial khio -> খ
+        "পরীক্ষা": "পরিকখা",    # medial khio -> কখ (and ী->ি)
+        "রঙ": "রং",             # nga -> anusvara
+        "ব্যক্তি": "বেক্তি",      # first-consonant ja-phala -> ে
+        "ব্যাপার": "বেপার",      # ja-phala absorbs following া-kar
+        "সন্ধ্যা": "সন্ধা",       # medial ja-phala dropped
+        "বিশ্ব": "বিশ",          # medial ba-phala dropped
+        "১২৩": "123",           # Bengali digits folded (DecimalDigitFilter)
+    }
+    for w, want in cases.items():
+        assert norm(w) == want, (w, norm(w), want)
+    # nukta composition: decomposed য+় composes to precomposed য় (U+09DF)
+    assert bengali_indic_normalize("য়") == "য়"
+    assert bengali_indic_normalize("ড়") == "ড়"
+    assert bengali_indic_normalize("ঢ়") == "ঢ়"
+
+
+def test_bengali_stemmer_full_rule_set():
+    """Descending-length suffix table (Mahmud et al. 2014): one golden per
+    group length, longest-first ordering, and the len > L+1 gates."""
+    from anserini_ray.analysis.lang import (
+        bengali_indic_normalize,
+        bengali_stem,
+    )
+
+    def stem(w):
+        return bengali_stem(bengali_indic_normalize(w))
+
+    cases = {
+        "করিয়াছিলাম": "কর",     # 8-char িয়াছিলাম (len 10 > 9)
+        "হাসিতেছিলে": "হাস",    # 7-char িতেছিলে
+        "খেলিতেছেন": "খেল",     # 6-char িতেছেন
+        "পড়িতেছে": "পড়",       # 5-char িতেছে
+        "বলিলাম": "বল",         # 4-char িলাম
+        "গাছগুলি": "গাছ",       # 4-char গুলি classifier
+        "ছেলেরা": "ছেল",        # 3-char েরা
+        "তোমাকে": "তোমা",       # 2-char কে
+        "ঘরে": "ঘর",            # 1-char ে locative (len 3 > 2)
+        "ঘর": "ঘর",             # len 2: no strip (gate len > L+1)
+        "বই": "বই",             # untouched
+    }
+    for w, want in cases.items():
+        # normalize the expectation too: source-file literals may carry
+        # decomposed nukta forms while the stemmer emits composed ones
+        want = bengali_indic_normalize(want)
+        assert stem(w) == want, (w, stem(w), want)
+    # gate: a 5-char suffix needs len > 6 — at exactly 6 it must NOT strip
+    w6 = bengali_indic_normalize("বিতেছি")  # dummy 6-char word
+    assert len(w6) == 6 and bengali_stem(w6) != ""
 
 
 def test_french_light_stemmer_full_rule_set():
