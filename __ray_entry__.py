@@ -1164,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": TD.decontaminate,
         "hash_split": TD.hash_split,
         "pack_sequences": TD.pack_sequences,
+        "pack_sequences_sorted": TD.pack_sequences_sorted,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
@@ -1219,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         # round-3 oracle flips
         "decontaminate": TD.DECONTAMINATE_SQL,
         "pack_sequences": TD.PACK_SEQUENCES_SQL,
+        "pack_sequences_sorted": TD.PACK_SEQUENCES_SQL,
         "hash_split": TD.HASH_SPLIT_SQL,
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,

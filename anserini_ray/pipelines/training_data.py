@@ -651,6 +651,18 @@ def pack_sequences(sf_dir: str):
     )
 
 
+def pack_sequences_sorted(sf_dir: str):
+    """Shuffle-free pack_sequences over the id-sorted documents parquet:
+    group-aligned units cut from footer statistics, no groupby/sort (see
+    stages/corpus_ops.pack_sequences_sorted). Same output contract and SQL
+    oracle as pack_sequences."""
+    from ..stages.corpus_ops import pack_sequences_sorted as _pack
+
+    return _pack(
+        [f"{sf_dir}/documents.parquet"], budget=128, group_size=256
+    )
+
+
 # Mirror of the greedy scan: a recursive CTE walks each pack group in id
 # order carrying (seq_idx, acc) — new sequence whenever acc + tokens would
 # exceed the budget (oversized docs get their own sequence).

@@ -96,3 +96,88 @@ def test_pack_sequences_greedy_contract(ray_session):
         per_seq[(r["pack_group"], r["seq_idx"])].append(r["n_tokens"])
     for toks in per_seq.values():
         assert sum(toks) <= 8 or len(toks) == 1
+
+def test_pack_sequences_sorted_fast_path(ray_session, tmp_path):
+    """Sorted-path == shuffle-path on multi-file id-sorted parquet with a
+    pack group SPANNING a file boundary; the plan has no all-to-all."""
+    import pyarrow.parquet as pq
+    from anserini_ray.stages.corpus_ops import (
+        pack_sequences,
+        pack_sequences_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, size=n)]
+    ids = np.arange(n, dtype=np.int64)
+    # three files; boundaries NOT multiples of group_size=256 -> groups span
+    cuts = [0, 1000, 2100, n]
+    paths = []
+    for i in range(3):
+        t = pa.table({
+            "doc_id": ids[cuts[i]:cuts[i + 1]],
+            "text": texts[cuts[i]:cuts[i + 1]],
+        })
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p, row_group_size=400)
+        paths.append(p)
+
+    fast = pack_sequences_sorted(
+        paths, budget=64, group_size=256, unit_target_rows=500
+    )
+    stats_ds = fast.materialize()
+    slow = pack_sequences(
+        ray.data.read_parquet(paths), budget=64, group_size=256
+    )
+    f = {r["doc_id"]: (r["pack_group"], r["seq_idx"], r["n_tokens"])
+         for r in stats_ds.take_all()}
+    s = {r["doc_id"]: (r["pack_group"], r["seq_idx"], r["n_tokens"])
+         for r in slow.take_all()}
+    assert f == s and len(f) == n
+    # no all-to-all on the fast path (group-aligned units, from_arrow_refs)
+    st = stats_ds.stats()
+    assert "Aggregate" not in st and "Sort" not in st, st
+
+
+def test_pack_sequences_sorted_guards(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+    from anserini_ray.stages.corpus_ops import pack_sequences_sorted
+
+    # overlapping id ranges across files -> refuse
+    pq.write_table(pa.table({"doc_id": [0, 5], "text": ["a", "b"]}),
+                   str(tmp_path / "a.parquet"))
+    pq.write_table(pa.table({"doc_id": [3, 9], "text": ["c", "d"]}),
+                   str(tmp_path / "b.parquet"))
+    with pytest.raises(ValueError, match="overlap|unsorted"):
+        pack_sequences_sorted(
+            [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")]
+        )
+    # intra-row-group disorder -> task-side refusal
+    pq.write_table(pa.table({"doc_id": [4, 2, 8], "text": ["a", "b", "c"]}),
+                   str(tmp_path / "c.parquet"))
+    with pytest.raises(Exception, match="sorted"):
+        pack_sequences_sorted([str(tmp_path / "c.parquet")]).take_all()
+
+
+def test_pack_sequences_analyzer_tokenizer(ray_session, tmp_path):
+    """tokenizer='analyzer' counts via the analyzer fast path (punctuation
+    does not inflate counts the way bare split() does) on BOTH paths."""
+    import pyarrow.parquet as pq
+    from anserini_ray.stages.corpus_ops import (
+        pack_sequences,
+        pack_sequences_sorted,
+    )
+
+    t = pa.table({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["one, two; three!", "a.b.c", "", "x " * 5],
+    })
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(t, p)
+    fast = {r["doc_id"]: r["n_tokens"] for r in pack_sequences_sorted(
+        [p], budget=8, tokenizer="analyzer").take_all()}
+    slow = {r["doc_id"]: r["n_tokens"] for r in pack_sequences(
+        ray.data.read_parquet(p), budget=8, tokenizer="analyzer").take_all()}
+    assert fast == slow
+    assert fast[0] == 3 and fast[2] == 0
