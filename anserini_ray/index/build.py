@@ -103,6 +103,14 @@ class IndexConfig:
     # Java-mod shard_count equals shard_current. -1 = disabled.
     shard_count: int = -1
     shard_current: int = -1
+    # Append auto-compaction threshold: after append_index_streaming, any
+    # segment whose posting lists are fragmented across >= this many unit
+    # writes SINCE its last compaction is force-merged in place
+    # (optimize_index(segments=[...])). Head-term decode cost scales with
+    # runs-per-posting-list ~= units touching the segment, so the unit
+    # count is the right zero-cost fragmentation proxy (measured: see
+    # BASELINE.md segment-fragmentation row). None disables the hook.
+    auto_compact_unit_runs: int | None = 32
 
     @property
     def shard(self) -> tuple[int, int] | None:

@@ -94,33 +94,99 @@ def _compact_group(group: pa.Table) -> pa.Table:
 
 
 def recover_interrupted_optimize(index_dir: str) -> bool:
-    """A crash between the two os.replace calls of the swap leaves the index
-    with no postings/ but an intact postings.old — restore it. Called by
-    optimize_index and by SegmentReader open when postings/ is missing.
-    Returns True if a recovery happened."""
+    """A crash between the os.replace calls of a swap leaves the index with
+    postings/ (or, for a selective compaction, one of its segment_id=N
+    partitions) missing while an intact copy sits in postings.old — restore
+    it. Called by optimize_index and by SegmentReader open. Returns True if
+    a recovery happened."""
     post_dir = os.path.join(index_dir, "postings")
     old_dir = os.path.join(index_dir, "postings.old")
-    if not os.path.isdir(post_dir) and os.path.isdir(old_dir):
+    if not os.path.isdir(old_dir):
+        return False
+    if not os.path.isdir(post_dir):
         os.replace(old_dir, post_dir)
         return True
-    return False
+    recovered = False
+    for entry in os.listdir(old_dir):
+        if not entry.startswith("segment_id="):
+            continue
+        live = os.path.join(post_dir, entry)
+        if not os.path.isdir(live):
+            os.replace(os.path.join(old_dir, entry), live)
+            recovered = True
+    return recovered
 
 
-def optimize_index(index_dir: str, shuffle_partitions: int | None = 32) -> None:
+def optimize_index(
+    index_dir: str,
+    shuffle_partitions: int | None = 32,
+    segments: list[int] | None = None,
+) -> None:
+    """Force-merge posting runs. segments=None compacts the whole index
+    (whole-directory atomic swap); a segment list compacts ONLY those
+    hive partitions (per-partition atomic swaps) — the shape the append
+    auto-compaction hook uses, so cost is proportional to the fragmented
+    segments, not the index."""
     recover_interrupted_optimize(index_dir)
     post_dir = os.path.join(index_dir, "postings")
     tmp_dir = os.path.join(index_dir, "postings.optimizing")
+    old_dir = os.path.join(index_dir, "postings.old")
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    ds = ray.data.read_parquet(post_dir)
     avail = int(ray.cluster_resources().get("CPU", 8))
     nparts = min(shuffle_partitions or 32, max(2, avail))
+
+    if segments is None:
+        ds = ray.data.read_parquet(post_dir)
+        (
+            ds.groupby(["segment_id", "term"], num_partitions=nparts)
+            .map_groups(_compact_group, batch_format="pyarrow")
+            .write_parquet(tmp_dir, partition_cols=["segment_id"])
+        )
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.replace(post_dir, old_dir)
+        os.replace(tmp_dir, post_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return
+
+    # selective: read only the chosen partitions (hive column re-attached
+    # per batch, since a partition dir read loses it)
+    parts = []
+    chosen = []
+    for s in sorted({int(s) for s in segments}):
+        seg_dir = os.path.join(post_dir, f"segment_id={s}")
+        if not os.path.isdir(seg_dir):
+            continue
+        chosen.append(s)
+
+        def _attach(batch: pa.Table, sid=s) -> pa.Table:
+            if "segment_id" in batch.column_names:
+                return batch
+            return batch.append_column(
+                "segment_id",
+                pa.array(np.full(batch.num_rows, sid, dtype=np.int64)),
+            )
+
+        parts.append(
+            ray.data.read_parquet(seg_dir).map_batches(
+                _attach, batch_format="pyarrow"
+            )
+        )
+    if not parts:
+        return
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     (
         ds.groupby(["segment_id", "term"], num_partitions=nparts)
         .map_groups(_compact_group, batch_format="pyarrow")
         .write_parquet(tmp_dir, partition_cols=["segment_id"])
     )
-    old_dir = os.path.join(index_dir, "postings.old")
     shutil.rmtree(old_dir, ignore_errors=True)
-    os.replace(post_dir, old_dir)
-    os.replace(tmp_dir, post_dir)
+    os.makedirs(old_dir)
+    for s in chosen:
+        name = f"segment_id={s}"
+        new_part = os.path.join(tmp_dir, name)
+        if not os.path.isdir(new_part):
+            continue  # partition vanished (empty segment) — keep original
+        os.replace(os.path.join(post_dir, name), os.path.join(old_dir, name))
+        os.replace(new_part, os.path.join(post_dir, name))
     shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(tmp_dir, ignore_errors=True)

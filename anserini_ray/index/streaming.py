@@ -537,6 +537,51 @@ def build_index_streaming(
     return manifest
 
 
+def _auto_compact(index_dir: str, markers: dict, touched: set[int],
+                  threshold: int | None,
+                  shuffle_partitions: int | None) -> list[int]:
+    """Compact segments whose effective fragmentation (unit writes since
+    their last compaction) reaches `threshold`. Bookkeeping lives in
+    compaction.json: {segment_id: marker-unit-count at last compaction} —
+    a compacted segment counts as ONE equivalent unit afterwards, so
+    effective = units_now - units_at_compaction + 1. Only segments touched
+    by the current append are considered (untouched ones cannot have grown
+    more fragmented). Returns the compacted segment ids."""
+    import json
+
+    if threshold is None or not touched:
+        return []
+    seg_units: dict[int, int] = {}
+    for m in markers.values():
+        for sid in m["segments"]:
+            sid = int(sid)
+            seg_units[sid] = seg_units.get(sid, 0) + 1
+    state_path = os.path.join(index_dir, "compaction.json")
+    state: dict[str, int] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    to_compact = []
+    for s in sorted(touched):
+        now = seg_units.get(s, 0)
+        base = state.get(str(s))
+        eff = now if base is None else now - int(base) + 1
+        if eff >= threshold:
+            to_compact.append(s)
+    if not to_compact:
+        return []
+    from .optimize import optimize_index
+
+    optimize_index(index_dir, shuffle_partitions, segments=to_compact)
+    for s in to_compact:
+        state[str(s)] = seg_units[s]
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)
+    return to_compact
+
+
 def append_index_streaming(
     new_paths: list[str],
     index_dir: str,
@@ -621,16 +666,21 @@ def append_index_streaming(
     for u in units:
         u["unit_id"] += next_uid
         u["base"] += base_start
+    # Fingerprint + placement matching prior units are ALWAYS resumed in an
+    # append (not gated on config.resume): they are the same input at the
+    # same ordinals, so re-running them is pure waste — and once
+    # auto-compaction has merged a segment's unit files, delete-and-rerun
+    # would DUPLICATE those postings (u-file deletion can no longer reach
+    # rows that were compacted into combined files).
     resumed: dict[int, dict] = {}
-    if config.resume:
-        for u in units:
-            m = prior_same.get(u["unit_id"])
-            if (
-                m is not None
-                and m.get("base") == u["base"]
-                and m.get("rows") == u["rows"]
-            ):
-                resumed[u["unit_id"]] = m
+    for u in units:
+        m = prior_same.get(u["unit_id"])
+        if (
+            m is not None
+            and m.get("base") == u["base"]
+            and m.get("rows") == u["rows"]
+        ):
+            resumed[u["unit_id"]] = m
     # drop stale markers+files from prior attempts that the new plan does
     # not resume, and orphan partition files with no marker at all (a unit
     # that crashed after writing parquet but before its marker)
@@ -719,6 +769,20 @@ def append_index_streaming(
         )
     _mark("manifests")
 
+    # auto-compaction: segments this append touched that have accumulated
+    # enough unit-write fragmentation get force-merged in place (content
+    # is unchanged — search results stay bit-identical)
+    touched = {
+        int(sid)
+        for u in units
+        for sid in markers[u["unit_id"]]["segments"]
+    }
+    compacted = _auto_compact(
+        index_dir, markers, touched, config.auto_compact_unit_runs,
+        config.shuffle_partitions,
+    )
+    _mark("auto_compact")
+
     total_input = int(old.counters.get("total_input", 0)) + new_rows
     manifest = IndexManifest(
         version=INDEX_FORMAT_VERSION,
@@ -737,6 +801,7 @@ def append_index_streaming(
             "errors": err_total,
             "appended_units": len(units),
             "total_units": len(markers),
+            "auto_compacted_segments": compacted,
             "stage_secs": stage_secs,
         },
         segments=segments,

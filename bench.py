@@ -297,9 +297,119 @@ def run_zipf_bench(num_cpus: int) -> dict:
     return out
 
 
+def _zipf_queries(n_total: int = 600) -> list[tuple[str, str]]:
+    """The Zipf bench's head/torso/tail mix, replicated with distinct qids
+    to a stable-timing batch size."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = []
+    for i in range(60):
+        head = int(rng.integers(0, 100))
+        torso = int(rng.integers(1_000, 10_000))
+        tail = int(rng.integers(100_000, ZIPF_VOCAB))
+        terms = ([head, torso], [head, torso, tail], [torso, tail])[i % 3]
+        base.append(" ".join(f"t{r:07d}" for r in terms))
+    return [(f"q{j:05d}", base[j % 60]) for j in range(n_total)]
+
+
+def run_query_scale(n_actors: int) -> dict:
+    """Batch BM25 throughput at a given SearcherStage actor-pool size over
+    the Zipf index (query-sharded actor pool — the reference analog is
+    SimpleSearcher.batchSearch's thread pool, SimpleSearcher.java:213-284).
+    Session CPU budget is fixed at 32; only the pool width varies."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data
+
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search.searcher import SearcherStage
+    from anserini_ray.sources.transcripts import write_zipf_corpus
+
+    corpus_dir = f"/tmp/anserini_ray_zipf_{ZIPF_TURNS}_{ZIPF_VOCAB}"
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        write_zipf_corpus(corpus_dir, ZIPF_TURNS, vocab_size=ZIPF_VOCAB,
+                          rows_per_file=125_000)
+    index_dir = f"/tmp/anserini_ray_zipf_idx_{ZIPF_TURNS}_{ZIPF_VOCAB}"
+    if not os.path.isdir(os.path.join(index_dir, "manifests")):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(
+            index_dir=index_dir,
+            config=IndexConfig(seg_shift=17, assume_sorted=True),
+            input_paths=sorted(
+                os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+            ),
+            total_input=ZIPF_TURNS,
+        )
+
+    queries = _zipf_queries(600)
+    k = 100
+    rows = [{"qid": q, "text": t} for q, t in queries]
+    batch_size = max(1, len(rows) // (n_actors * 4))
+    best = None
+    for _ in range(2):  # best-of-2 (first run pays mmap page-cache warm)
+        ds = ray.data.from_items(rows, override_num_blocks=n_actors * 4)
+        t0 = time.perf_counter()
+        n_out = ds.map_batches(
+            SearcherStage,
+            fn_constructor_args=(index_dir, k),
+            concurrency=n_actors,
+            batch_size=batch_size,
+            num_cpus=1,
+            batch_format="pyarrow",
+        ).count()
+        dt = time.perf_counter() - t0
+        assert n_out == len(rows) * k or n_out > 0
+        best = dt if best is None else min(best, dt)
+    out = {
+        "metric": "zipf batch BM25 qps",
+        "value": round(len(rows) / best, 2),
+        "unit": "q/s",
+        "n_actors": n_actors,
+        "k": k,
+        "queries_total": len(rows),
+        "num_cpus": NUM_CPUS,
+        "query_qps": round(len(rows) / best, 2),
+    }
+    ray.shutdown()
+    return out
+
+
 def main():
     if "--zipf" in sys.argv:
         print(json.dumps(run_zipf_bench(NUM_CPUS)))
+        return
+    if "--query-ladder" in sys.argv:
+        widths = (4, 8, 16)
+        results = []
+        for n in widths:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single-query-scale", str(n)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            lines = [l for l in out.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"query ladder failed: {out.stderr[-2000:]}")
+            results.append(json.loads(lines[-1]))
+        q4, _, q16 = (r["query_qps"] for r in results)
+        print(json.dumps({
+            "metric": "query scaling efficiency 4→16 actors (batch BM25)",
+            "value": round((q16 / q4) / 4.0, 3),
+            "unit": "efficiency",
+            "queries": {f"qps_{r['n_actors']}actors": r["query_qps"]
+                        for r in results},
+            "num_cpus": NUM_CPUS,
+        }))
+        return
+    if "--single-query-scale" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--single-query-scale") + 1])
+        print(json.dumps(run_query_scale(n)))
         return
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_FROM", "4"))
