@@ -1165,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": TD.hash_split,
         "pack_sequences": TD.pack_sequences,
         "pack_sequences_sorted": TD.pack_sequences_sorted,
+        "repetition_stats": TD.repetition_stats,
+        "pii_redact": TD.pii_redact,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
@@ -1221,6 +1223,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": TD.DECONTAMINATE_SQL,
         "pack_sequences": TD.PACK_SEQUENCES_SQL,
         "pack_sequences_sorted": TD.PACK_SEQUENCES_SQL,
+        "repetition_stats": TD.REPETITION_STATS_SQL,
+        "pii_redact": TD.PII_REDACT_SQL,
         "hash_split": TD.HASH_SPLIT_SQL,
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,

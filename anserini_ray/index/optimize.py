@@ -117,6 +117,80 @@ def recover_interrupted_optimize(index_dir: str) -> bool:
     return recovered
 
 
+_POSTING_COLS = [
+    "segment_id", "term", "first_local", "df", "cf", "max_tf",
+    "doc_blob", "tf_blob", "blk_first", "blk_n", "blk_max_tf",
+    "blk_min_dl", "blk_doc_off", "blk_tf_off", "pos_blob",
+]
+
+
+def _compact_dataset(ds, nparts: int):
+    """Split-route compaction: the single-run MAJORITY of posting lists
+    (tail terms) passes through untouched; only keys with >1 run pay the
+    per-group decode+re-encode. Without the split, map_groups makes one
+    Python call per (segment, term) — ~1M calls on a realistic vocabulary
+    of which typically <20% need any work. Returns the output Dataset, or
+    None when nothing is fragmented (caller skips the rewrite)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(["segment_id", "term"]).aggregate(Count())
+
+    def frag_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["count()"], 1)).select(
+            ["segment_id", "term"]
+        )
+
+    blocks = [
+        t
+        for t in ray.get(
+            counts.map_batches(frag_only, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not blocks:
+        return None
+    keyt = pa.concat_tables(blocks)
+    # skinny (segment:term) strings — ~20 MB per 1M fragmented keys; in the
+    # pathological everything-fragmented case this is vocab-sized, still
+    # far below the payloads the groupby itself shuffles
+    frag_keys = pc.binary_join_element_wise(
+        pc.cast(keyt["segment_id"], pa.string()),
+        keyt["term"].combine_chunks().cast(pa.string()),
+        ":",
+    ).combine_chunks()
+    key_ref = ray.put(frag_keys)
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        if "pos_blob" not in batch.column_names:
+            batch = batch.append_column(
+                "pos_blob",
+                pa.array([b""] * batch.num_rows, type=pa.large_binary()),
+            )
+        return batch.select(_POSTING_COLS)
+
+    def route(batch: pa.Table, keep_frag: bool) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["segment_id"], pa.string()),
+            pc.cast(batch["term"], pa.string()),
+            ":",
+        )
+        m = pc.is_in(k, value_set=ray.get(key_ref))
+        return _norm(batch.filter(m if keep_frag else pc.invert(m)))
+
+    passthrough = ds.map_batches(
+        lambda b: route(b, False), batch_format="pyarrow"
+    )
+    compacted = (
+        ds.map_batches(lambda b: route(b, True), batch_format="pyarrow")
+        .groupby(["segment_id", "term"], num_partitions=nparts)
+        .map_groups(_compact_group, batch_format="pyarrow")
+        .map_batches(_norm, batch_format="pyarrow")
+    )
+    return passthrough.union(compacted)
+
+
 def optimize_index(
     index_dir: str,
     shuffle_partitions: int | None = 32,
@@ -137,11 +211,10 @@ def optimize_index(
 
     if segments is None:
         ds = ray.data.read_parquet(post_dir)
-        (
-            ds.groupby(["segment_id", "term"], num_partitions=nparts)
-            .map_groups(_compact_group, batch_format="pyarrow")
-            .write_parquet(tmp_dir, partition_cols=["segment_id"])
-        )
+        out = _compact_dataset(ds, nparts)
+        if out is None:
+            return
+        out.write_parquet(tmp_dir, partition_cols=["segment_id"])
         shutil.rmtree(old_dir, ignore_errors=True)
         os.replace(post_dir, old_dir)
         os.replace(tmp_dir, post_dir)
@@ -174,11 +247,10 @@ def optimize_index(
     if not parts:
         return
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    (
-        ds.groupby(["segment_id", "term"], num_partitions=nparts)
-        .map_groups(_compact_group, batch_format="pyarrow")
-        .write_parquet(tmp_dir, partition_cols=["segment_id"])
-    )
+    out = _compact_dataset(ds, nparts)
+    if out is None:
+        return
+    out.write_parquet(tmp_dir, partition_cols=["segment_id"])
     shutil.rmtree(old_dir, ignore_errors=True)
     os.makedirs(old_dir)
     for s in chosen:

@@ -73,6 +73,74 @@ QUALITY_STATS_SQL = """
 """
 
 
+# ------------------------------------------------------ repetition stats
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition features per doc (stages/text_stats.py)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.repetition_batch, batch_format="pyarrow"
+    )
+
+
+REPETITION_STATS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    i2 AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+    b2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g FROM i2),
+    a2 AS (
+      SELECT doc_id, max(c) * 1.0 / sum(c) AS f
+      FROM (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    i3 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks),
+    b3 AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g FROM i3
+    ),
+    a3 AS (
+      SELECT doc_id, max(c) * 1.0 / sum(c) AS f
+      FROM (SELECT doc_id, g, count(*) AS c FROM b3 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN len(ts) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(ts)) * 1.0 / len(ts)
+           END AS dup_token_frac,
+           coalesce(a2.f, 0.0) AS top_bigram_frac,
+           coalesce(a3.f, 0.0) AS top_trigram_frac
+    FROM toks t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+
+# -------------------------------------------------------- PII redaction
+def pii_redact(sf_dir: str):
+    """Email/IPv4/phone redaction + counts (stages/text_stats.PiiRedact —
+    actor-pool stage; patterns compile once per worker)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.PiiRedact, batch_format="pyarrow", concurrency=2
+    )
+
+
+def _pii_sql() -> str:
+    e, i, p = T.PII_EMAIL, T.PII_IPV4, T.PII_PHONE
+    return f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{e}', '<EMAIL>', 'g'),
+               '{i}', '<IP>', 'g'),
+               '{p}', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones
+    FROM documents
+    """
+
+
+PII_REDACT_SQL = _pii_sql()
+
+
 # ----------------------------------------------------------- token counts
 def token_counts(sf_dir: str):
     """Whitespace token counts (SQL-checkable)."""

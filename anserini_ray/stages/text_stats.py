@@ -168,3 +168,90 @@ class Fingerprint:
         return batch.append_column("fingerprint", fps).append_column(
             "fingerprint_md5", md5s
         )
+
+
+# ----------------------------------------------- repetition stats (Gopher)
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1) adapted
+    to single-line documents: duplicate-token fraction and the fraction of
+    all word n-grams taken by the single most frequent n-gram (n=2,3).
+    High values flag boilerplate / degenerate repetition. Map-only,
+    SQL-mirrorable (REPETITION_STATS_SQL)."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    dup_frac = np.zeros(n, dtype=np.float64)
+    top2 = np.zeros(n, dtype=np.float64)
+    top3 = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        dup_frac[i] = 1.0 - len(set(toks)) / len(toks)
+        for nn, out in ((2, top2), (3, top3)):
+            total = len(toks) - nn + 1
+            if total < 1:
+                continue
+            counts: dict = {}
+            for j in range(total):
+                g = " ".join(toks[j:j + nn])
+                counts[g] = counts.get(g, 0) + 1
+            out[i] = max(counts.values()) / total
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "dup_token_frac": pa.array(dup_frac),
+            "top_bigram_frac": pa.array(top2),
+            "top_trigram_frac": pa.array(top3),
+        }
+    )
+
+
+# ------------------------------------------------------- PII redaction
+
+# RE2-compatible patterns (identical semantics in Python re and DuckDB's
+# regexp_* so the op is exactly SQL-mirrorable). Redaction order:
+# email -> ipv4 -> phone; counts are taken on the ORIGINAL text.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+class PiiRedact:
+    """map_batches callable: redact emails/IPv4s/phone numbers from a text
+    column (-> <EMAIL>/<IP>/<PHONE>) and count matches per doc. Stateful
+    stage: patterns compile once per actor/worker."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.email = re.compile(PII_EMAIL)
+        self.ip = re.compile(PII_IPV4)
+        self.phone = re.compile(PII_PHONE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        red = []
+        n_email = np.zeros(n, dtype=np.int64)
+        n_ip = np.zeros(n, dtype=np.int64)
+        n_phone = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_email[i] = len(self.email.findall(t))
+            n_ip[i] = len(self.ip.findall(t))
+            n_phone[i] = len(self.phone.findall(t))
+            t = self.email.sub("<EMAIL>", t)
+            t = self.ip.sub("<IP>", t)
+            t = self.phone.sub("<PHONE>", t)
+            red.append(t)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_redacted": pa.array(red, type=pa.string()),
+                "n_emails": pa.array(n_email),
+                "n_ips": pa.array(n_ip),
+                "n_phones": pa.array(n_phone),
+            }
+        )

@@ -181,3 +181,57 @@ def test_pack_sequences_analyzer_tokenizer(ray_session, tmp_path):
         ray.data.read_parquet(p), budget=8, tokenizer="analyzer").take_all()}
     assert fast == slow
     assert fast[0] == 3 and fast[2] == 0
+
+
+def test_repetition_stats(ray_session):
+    from anserini_ray.stages.text_stats import repetition_batch
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b a b a b",          # bigram 'a b' 3/5, 'b a' 2/5
+            "x y z",                # all distinct
+            "w w w w",              # fully repeated
+            "",                      # empty
+        ],
+    })
+    rows = {r["doc_id"]: r for r in repetition_batch(t).to_pylist()}
+    assert abs(rows[0]["top_bigram_frac"] - 3 / 5) < 1e-12
+    assert abs(rows[0]["dup_token_frac"] - (1 - 2 / 6)) < 1e-12
+    assert rows[1]["dup_token_frac"] == 0.0
+    assert abs(rows[1]["top_bigram_frac"] - 0.5) < 1e-12  # 2 distinct of 2
+    assert rows[2]["top_bigram_frac"] == 1.0
+    assert rows[2]["top_trigram_frac"] == 1.0
+    assert abs(rows[2]["dup_token_frac"] - 0.75) < 1e-12
+    assert rows[3]["dup_token_frac"] == 0.0 == rows[3]["top_bigram_frac"]
+
+
+def test_pii_redact(ray_session):
+    from anserini_ray.stages.text_stats import PiiRedact
+
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "mail bob.smith+x@example.co.uk or call 555-123-4567 now",
+            "server at 192.168.0.1 and 10.0.0.255, no mail",
+            "clean text without identifiers",
+        ],
+    })
+    rows = {r["doc_id"]: r for r in PiiRedact()(t).to_pylist()}
+    assert rows[0]["text_redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert rows[1]["text_redacted"] == "server at <IP> and <IP>, no mail"
+    assert rows[1]["n_ips"] == 2
+    assert rows[2]["text_redacted"] == "clean text without identifiers"
+    # DuckDB regexp parity on the SAME planted rows (the engine-level oracle
+    # corpus has no PII, so assert the cross-engine contract here)
+    import duckdb
+
+    from anserini_ray.pipelines.training_data import _pii_sql
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    for r in con.execute(_pii_sql()).fetchall():
+        got = rows[r[0]]
+        assert (got["text_redacted"], got["n_emails"], got["n_ips"],
+                got["n_phones"]) == (r[1], r[2], r[3], r[4])
