@@ -1167,6 +1167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_sorted": TD.pack_sequences_sorted,
         "repetition_stats": TD.repetition_stats,
         "pii_redact": TD.pii_redact,
+        "quality_filter": TD.quality_filter,
+        "chunk_documents": TD.chunk_documents,
+        "ngram_counts": TD.ngram_counts,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
@@ -1225,6 +1228,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_sorted": TD.PACK_SEQUENCES_SQL,
         "repetition_stats": TD.REPETITION_STATS_SQL,
         "pii_redact": TD.PII_REDACT_SQL,
+        "quality_filter": TD.QUALITY_FILTER_SQL,
+        "chunk_documents": TD.CHUNK_DOCUMENTS_SQL,
+        "ngram_counts": TD.NGRAM_COUNTS_SQL,
         "hash_split": TD.HASH_SPLIT_SQL,
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,

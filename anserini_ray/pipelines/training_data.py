@@ -141,6 +141,165 @@ def _pii_sql() -> str:
 PII_REDACT_SQL = _pii_sql()
 
 
+# ------------------------------------------------- composite quality filter
+def quality_filter(sf_dir: str):
+    """Gopher-style keep/drop verdict per doc with first-failing-rule reason
+    (stages/text_stats.quality_filter_batch). Map-only."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.quality_filter_batch, batch_format="pyarrow"
+    )
+
+
+def _quality_filter_sql() -> str:
+    stop = ",".join(f"'{w}'" for w in sorted(T._QF_STOPSET))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, ts, len(ts) AS nt,
+             CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts)
+             END AS mean_len,
+             len(list_filter(ts, t -> t IN ({stop}))) AS n_stop,
+             CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(ts)) * 1.0 / len(ts)
+             END AS dupf
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, max(c) AS maxc
+      FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+          FROM (SELECT doc_id, ts, unnest(range(1, nt)) AS i FROM m)
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    r AS (
+      SELECT m.doc_id,
+        CASE
+          WHEN nt < {T.QF_MIN_TOKENS} THEN 'too_few_tokens'
+          WHEN nt > {T.QF_MAX_TOKENS} THEN 'too_many_tokens'
+          WHEN mean_len < {T.QF_MIN_MEAN_TOKEN_LEN}
+            OR mean_len > {T.QF_MAX_MEAN_TOKEN_LEN} THEN 'mean_token_len'
+          WHEN n_stop < {T.QF_MIN_STOPWORDS} THEN 'too_few_stopwords'
+          WHEN dupf > {T.QF_MAX_DUP_TOKEN_FRAC} THEN 'dup_tokens'
+          WHEN nt >= 2 AND coalesce(bg.maxc, 0) * 1.0 / (nt - 1)
+               > {T.QF_MAX_TOP_BIGRAM_FRAC} THEN 'top_bigram'
+          ELSE ''
+        END AS reason
+      FROM m LEFT JOIN bg ON m.doc_id = bg.doc_id
+    )
+    SELECT doc_id, reason = '' AS keep, reason FROM r
+    """
+
+
+QUALITY_FILTER_SQL = _quality_filter_sql()
+
+
+# ------------------------------------------------- fixed-token chunking
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(sf_dir: str):
+    """Fixed-token chunks with overlap (stages/text_stats.chunk_batch)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.chunk_batch, batch_format="pyarrow",
+        fn_kwargs={"chunk_tokens": CHUNK_TOKENS, "overlap": CHUNK_OVERLAP},
+    )
+
+
+_CH_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+CHUNK_DOCUMENTS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, ts, len(ts) AS nt FROM toks WHERE len(ts) > 0),
+    idx AS (
+      SELECT doc_id, ts, nt,
+             unnest(range(0, 1 + greatest(0, CAST(ceil(
+                 (nt - {CHUNK_TOKENS}) * 1.0 / {_CH_STRIDE}) AS BIGINT)))) AS i
+      FROM nz
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice(ts, i * {_CH_STRIDE} + 1,
+                                      i * {_CH_STRIDE} + {CHUNK_TOKENS}),
+                           ' ') AS chunk_text,
+           least(CAST({CHUNK_TOKENS} AS BIGINT),
+                 nt - i * {_CH_STRIDE}) AS n_chunk_tokens
+    FROM idx
+"""
+
+
+# -------------------------------------------------- corpus n-gram counts
+def ngram_counts(sf_dir: str, n: int = 2, k: int = 100):
+    """Corpus-level top-k word n-grams. The combiner pattern for a 100-TB
+    corpus: each batch pre-aggregates its n-gram counts locally (a dict per
+    batch, emitted as skinny (gram, n_partial) rows), so only the partial
+    vocabulary — not the corpus — reaches the one wide hash aggregate; the
+    final top-k is per-batch partial top-k + bounded driver merge."""
+    from ..stages.hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch["text"].to_pylist():
+            toks = (t or "").lower().split()
+            for j in range(len(toks) - n + 1):
+                g = " ".join(toks[j:j + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "gram": pa.array(list(counts.keys()), type=pa.string()),
+                "n_partial": pa.array(
+                    list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        keys=["gram"], aggs=[("sum", "n_partial")], out_names=["n"],
+    )
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.select_k_unstable(
+            batch, k, [("n", "descending"), ("gram", "ascending")]
+        )
+        return batch.take(idx)
+
+    parts = agg.map_batches(batch_topk, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(parts, schema=pa.schema(
+        [("gram", pa.string()), ("n", pa.int64())]))
+    idx = pc.select_k_unstable(
+        t, min(k, t.num_rows), [("n", "descending"), ("gram", "ascending")]
+    )
+    return t.take(idx)
+
+
+NGRAM_COUNTS_SQL = """
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    b2 AS (
+      SELECT ts[i] || ' ' || ts[i+1] AS gram
+      FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+    )
+    SELECT gram, count(*) AS n FROM b2
+    GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100
+"""
+
+
 # ----------------------------------------------------------- token counts
 def token_counts(sf_dir: str):
     """Whitespace token counts (SQL-checkable)."""

@@ -183,7 +183,17 @@ def hash_aggregate(
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nparts = nparts or max(2, min(32, cpus))
     mat = ds.map_batches(precombine, batch_format="pyarrow").materialize()
-    refs = mat.to_arrow_refs()
+    # Ray Data represents skipped-empty blocks as 0-row tables with an EMPTY
+    # schema; drop them by metadata (no driver-side fetch) or the per-block
+    # partition would miss the key columns.
+    refs = [
+        block
+        for bundle in mat.iter_internal_ref_bundles()
+        for block, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        return mat
     per_block = [
         _partition_combined.options(num_returns=nparts).remote(
             r, keys, aggs, out_names, nparts

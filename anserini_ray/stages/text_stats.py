@@ -255,3 +255,105 @@ class PiiRedact:
                 "n_phones": pa.array(n_phone),
             }
         )
+
+
+# ------------------------------------------- composite quality filter
+# Gopher-style document filter (Rae et al. 2021, Table A1 subset adapted to
+# single-line documents): token-count bounds, mean-token-length bounds, a
+# minimum stopword count, and repetition caps. `reason` is the FIRST failing
+# rule in a fixed order so the output is deterministic and SQL-mirrorable
+# (QUALITY_FILTER_SQL).
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_TOKEN_LEN = 3.0
+QF_MAX_MEAN_TOKEN_LEN = 10.0
+QF_MIN_STOPWORDS = 2
+QF_MAX_DUP_TOKEN_FRAC = 0.6
+QF_MAX_TOP_BIGRAM_FRAC = 0.30
+
+_QF_STOPSET = frozenset(
+    ("the", "a", "an", "of", "to", "in", "on", "is", "are", "and")
+)
+
+
+def quality_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc keep/drop verdict + first-failing-rule reason. Map-only."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    keep = np.ones(n, dtype=bool)
+    reasons = [""] * n
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        nt = len(toks)
+        if nt < QF_MIN_TOKENS:
+            keep[i], reasons[i] = False, "too_few_tokens"
+            continue
+        if nt > QF_MAX_TOKENS:
+            keep[i], reasons[i] = False, "too_many_tokens"
+            continue
+        mean_len = sum(len(x) for x in toks) / nt
+        if not (QF_MIN_MEAN_TOKEN_LEN <= mean_len <= QF_MAX_MEAN_TOKEN_LEN):
+            keep[i], reasons[i] = False, "mean_token_len"
+            continue
+        if sum(1 for x in toks if x in _QF_STOPSET) < QF_MIN_STOPWORDS:
+            keep[i], reasons[i] = False, "too_few_stopwords"
+            continue
+        if 1.0 - len(set(toks)) / nt > QF_MAX_DUP_TOKEN_FRAC:
+            keep[i], reasons[i] = False, "dup_tokens"
+            continue
+        if nt >= 2:
+            counts: dict = {}
+            for j in range(nt - 1):
+                g = toks[j] + " " + toks[j + 1]
+                counts[g] = counts.get(g, 0) + 1
+            if max(counts.values()) / (nt - 1) > QF_MAX_TOP_BIGRAM_FRAC:
+                keep[i], reasons[i] = False, "top_bigram"
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "keep": pa.array(keep),
+            "reason": pa.array(reasons, type=pa.string()),
+        }
+    )
+
+
+# ----------------------------------------------- fixed-token chunking
+def chunk_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> pa.Table:
+    """Split each doc into whitespace-token chunks of `chunk_tokens` with
+    `overlap` tokens shared between consecutive chunks (stride =
+    chunk_tokens - overlap). Emits (doc_id, chunk_idx, chunk_text,
+    n_chunk_tokens); docs with no tokens emit no rows. flat_map-style but
+    vectorized per batch; canonical single-space joins keep it exactly
+    SQL-mirrorable (CHUNK_DOCUMENTS_SQL)."""
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id, out_idx, out_text, out_n = [], [], [], []
+    for d, t in zip(ids, texts):
+        toks = (t or "").split()
+        nt = len(toks)
+        if nt == 0:
+            continue
+        # last start index: the smallest i*stride reaching the final token
+        n_chunks = 1 + max(0, -(-(nt - chunk_tokens) // stride))
+        for i in range(n_chunks):
+            s = i * stride
+            piece = toks[s:s + chunk_tokens]
+            out_id.append(d)
+            out_idx.append(i)
+            out_text.append(" ".join(piece))
+            out_n.append(len(piece))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_idx, type=pa.int64()),
+            "chunk_text": pa.array(out_text, type=pa.string()),
+            "n_chunk_tokens": pa.array(out_n, type=pa.int64()),
+        }
+    )

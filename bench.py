@@ -195,6 +195,9 @@ def run_scaling_build(num_cpus: int, n_turns: int) -> dict:
 
 ZIPF_TURNS = int(os.environ.get("GRAFT_ZIPF_TURNS", "1000000"))
 ZIPF_VOCAB = int(os.environ.get("GRAFT_ZIPF_VOCAB", "500000"))
+# Docs per segment = 2**shift. 17 (131K docs) matches the default build;
+# raise to e.g. 24 for a single-16M-doc-segment MaxScore measurement.
+ZIPF_SEG_SHIFT = int(os.environ.get("GRAFT_ZIPF_SEG_SHIFT", "17"))
 
 
 def run_zipf_bench(num_cpus: int) -> dict:
@@ -223,13 +226,13 @@ def run_zipf_bench(num_cpus: int) -> dict:
     corpus_files = sorted(
         os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
     )
-    index_dir = f"/tmp/anserini_ray_zipf_idx_{ZIPF_TURNS}_{ZIPF_VOCAB}"
+    index_dir = f"/tmp/anserini_ray_zipf_idx_{ZIPF_TURNS}_{ZIPF_VOCAB}_s{ZIPF_SEG_SHIFT}"
     t0 = time.perf_counter()
     if not os.path.isdir(os.path.join(index_dir, "manifests")):
         shutil.rmtree(index_dir, ignore_errors=True)
         build_index(
             index_dir=index_dir,
-            config=IndexConfig(seg_shift=17, assume_sorted=True),
+            config=IndexConfig(seg_shift=ZIPF_SEG_SHIFT, assume_sorted=True),
             input_paths=corpus_files,
             total_input=ZIPF_TURNS,
         )
@@ -333,12 +336,12 @@ def run_query_scale(n_actors: int) -> dict:
     if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
         write_zipf_corpus(corpus_dir, ZIPF_TURNS, vocab_size=ZIPF_VOCAB,
                           rows_per_file=125_000)
-    index_dir = f"/tmp/anserini_ray_zipf_idx_{ZIPF_TURNS}_{ZIPF_VOCAB}"
+    index_dir = f"/tmp/anserini_ray_zipf_idx_{ZIPF_TURNS}_{ZIPF_VOCAB}_s{ZIPF_SEG_SHIFT}"
     if not os.path.isdir(os.path.join(index_dir, "manifests")):
         shutil.rmtree(index_dir, ignore_errors=True)
         build_index(
             index_dir=index_dir,
-            config=IndexConfig(seg_shift=17, assume_sorted=True),
+            config=IndexConfig(seg_shift=ZIPF_SEG_SHIFT, assume_sorted=True),
             input_paths=sorted(
                 os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
             ),

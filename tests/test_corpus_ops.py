@@ -235,3 +235,75 @@ def test_pii_redact(ray_session):
         got = rows[r[0]]
         assert (got["text_redacted"], got["n_emails"], got["n_ips"],
                 got["n_phones"]) == (r[1], r[2], r[3], r[4])
+
+
+def test_quality_filter_reasons(ray_session):
+    from anserini_ray.stages import text_stats as T
+
+    stop_pad = "the a an of to in on is are and"  # 10 stopwords
+    long_ok = stop_pad + " " + " ".join(f"word{i:04d}" for i in range(30))
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            long_ok,                                   # keep
+            "too short",                               # too_few_tokens
+            " ".join(f"word{i:04d}" for i in range(40)),  # too_few_stopwords
+            stop_pad + " duplicate" * 30,              # dup_tokens
+            stop_pad + " " + "xxxx yyyy " * 20,        # dup beats bigram order
+        ],
+    })
+    rows = {r["doc_id"]: r for r in T.quality_filter_batch(t).to_pylist()}
+    assert rows[0]["keep"] and rows[0]["reason"] == ""
+    assert rows[1]["reason"] == "too_few_tokens"
+    assert rows[2]["reason"] == "too_few_stopwords"
+    assert rows[3]["reason"] == "dup_tokens"
+    assert not rows[4]["keep"]
+
+
+def test_chunk_batch_boundaries(ray_session):
+    from anserini_ray.stages.text_stats import chunk_batch
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [toks(5), toks(8), toks(9), toks(20), ""],
+    })
+    out = chunk_batch(t, chunk_tokens=8, overlap=2).to_pylist()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 5 tokens -> 1 chunk; 8 -> 1; 9 -> 2 (stride 6); 20 -> 3; empty -> none
+    assert [len(by_doc.get(d, [])) for d in range(5)] == [1, 1, 2, 3, 0]
+    c = by_doc[2]
+    assert c[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert c[1]["chunk_text"].split() == [f"t{i}" for i in range(6, 9)]
+    assert c[1]["n_chunk_tokens"] == 3
+    # every token of doc 3 is covered, consecutive chunks overlap by 2
+    c3 = by_doc[3]
+    assert c3[0]["chunk_text"].split()[-2:] == c3[1]["chunk_text"].split()[:2]
+    covered = set()
+    for r in c3:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(20)}
+
+
+def test_ngram_counts_sql_parity(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from anserini_ray.pipelines import training_data as TD
+
+    t = pa.table({
+        "doc_id": list(range(4)),
+        "text": ["a b c a b", "b c a b", "x y", ""],
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = TD.ngram_counts(str(d)).to_pylist()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = [{"gram": g, "n": n}
+            for g, n in con.execute(TD.NGRAM_COUNTS_SQL).fetchall()]
+    assert got == want
+    assert got[0] == {"gram": "a b", "n": 3}
