@@ -400,6 +400,11 @@ class LanguageAnalyzer:
         self.stopwords = (
             frozenset(stopwords) if stopwords is not None else defaults[language]
         )
+        if language == "hi":
+            # stop matching happens AFTER normalization in the Lucene chain
+            self.stopwords = frozenset(
+                hindi_normalize(w.translate(_HI_DIGITS)) for w in self.stopwords
+            )
         self.stem = {
             "de": german_light_stem,
             "fr": french_light_stem,
@@ -415,15 +420,21 @@ class LanguageAnalyzer:
             "ar": re.compile("[\u0600-\u06FF0-9A-Za-z]+"),
             # letters/marks/digits only \u2014 danda (\u0964\u0965 U+0964-5, \u09F7) and
             # currency/section signs are UAX#29 punctuation, never words
+            # ZWNJ/ZWJ are UAX#29 Format chars \u2014 ignored for word breaks
+            # (WB4), so they stay inside the token; hindi_normalize then
+            # deletes them (Lucene: StandardTokenizer + HindiNormalizer).
             "hi": re.compile("[\u0900-\u0963\u0966-\u096F\u0971-\u097F"
-                             "0-9A-Za-z]+"),
+                             "\u200C\u200D0-9A-Za-z]+"),
             "bn": re.compile("[\u0980-\u09E3\u09E6-\u09F1"
                              "0-9A-Za-z]+"),
         }.get(language, _WORD_RUN)
         self._memo: dict[str, str | None] = {}
 
     def config_fingerprint(self) -> str:
-        return f"lang-{self.language}+stop{len(self.stopwords)}+light"
+        # hnorm2 = full HindiNormalizer rule set (round 4); indexes built
+        # with the earlier nukta-only normalization are not token-compatible
+        suffix = "+hnorm2" if self.language == "hi" else ""
+        return f"lang-{self.language}+stop{len(self.stopwords)}+light{suffix}"
 
     def _process(self, raw: str) -> str | None:
         tok = raw
@@ -444,7 +455,9 @@ class LanguageAnalyzer:
             if not tok or tok in self.stopwords:
                 return None
         elif self.language == "hi":
-            tok = _HI_NUKTA.sub("", tok).translate(_HI_DIGITS)
+            # Lucene chain order: digits → Indic/Hindi normalize → THEN the
+            # stop filter (stop set stored normalized, see __init__).
+            tok = hindi_normalize(tok.translate(_HI_DIGITS))
             if not tok or tok in self.stopwords:
                 return None
         elif self.language == "bn":
@@ -535,11 +548,21 @@ def arabic_light_stem(word: str) -> str:
 
 
 # -------------------------------------------------------------- Hindi (hi)
-# SIMPLIFIED port of Lucene's HindiAnalyzer: the IndicNormalizer /
-# HindiNormalizer composition steps are reduced to nukta removal; the
-# stemmer is the published Ramanathan-Rao light stemmer core as used by
-# Lucene's HindiStemmer (suffix strips by descending length). Marked
-# simplified (no reference fixtures exist to golden-verify).
+# Lucene HindiAnalyzer chain (selected by `-language hi`,
+# J/index/IndexCollection.java): tokenize → lowercase → decimal-digit fold
+# → IndicNormalizer → HindiNormalizer → stop set → HindiStemmer.
+#
+# hindi_normalize implements the FULL published normalization rule set
+# (Ramanathan & Rao 2003 orthographic normalization, as standardized in
+# Lucene's HindiNormalizer): dead-n and candrabindu to anusvara, nukta
+# deletion with precomposed-nukta-consonant folding, virama and ZWJ/ZWNJ
+# deletion, chandra-vowel folding, and long→short vowel folding for both
+# independent vowels and dependent matras. The IndicNormalizer composition
+# step is covered for the nukta case (precomposed forms fold to base, bare
+# nukta deletes — identical outcome either way); its rare malformed-text
+# repairs (independent vowel + matra composition) are out of scope. Chain
+# order matters: the stop filter runs AFTER normalization in Lucene, so the
+# stop set is stored normalized (e.g. "हैं" is matched as "हें").
 
 HINDI_STOP_WORDS = frozenset(
     """का के की को में है हैं और से पर यह वह एक था थी थे हो ही भी तो ने
@@ -547,8 +570,59 @@ HINDI_STOP_WORDS = frozenset(
     वाले हुआ हुई हुए नहीं कुछ अब जब तब या फिर बहुत सकता सकती सकते""".split()
 )
 
-_HI_NUKTA = re.compile("़")  # nukta
 _HI_DIGITS = str.maketrans("०१२३४५६७८९", "0123456789")  # DecimalDigitFilter
+
+# dead n (न + virama) → anusvara; must run before the virama delete below
+# (Lucene's single left-to-right pass checks न's lookahead before reaching
+# the virama).
+_HI_DEAD_N = re.compile("न्")
+
+_HI_NORM = str.maketrans({
+    "ँ": "ं",  # candrabindu → anusvara
+    "़": None,      # nukta deleted
+    # precomposed nukta consonants → base consonant
+    "ऩ": "न",  # ऩ → न
+    "ऱ": "र",  # ऱ → र
+    "ऴ": "ळ",  # ऴ → ळ
+    "क़": "क",  # क़ → क
+    "ख़": "ख",  # ख़ → ख
+    "ग़": "ग",  # ग़ → ग
+    "ज़": "ज",  # ज़ → ज
+    "ड़": "ड",  # ड़ → ड
+    "ढ़": "ढ",  # ढ़ → ढ
+    "फ़": "फ",  # फ़ → फ
+    "य़": "य",  # य़ → य
+    "‌": None,      # ZWNJ deleted
+    "‍": None,      # ZWJ deleted
+    "्": None,      # virama deleted
+    # chandra / short vowel variants → standard form
+    "ॅ": "े", "ॆ": "े",  # ॅ ॆ → े
+    "ॉ": "ो", "ॊ": "ो",  # ॉ ॊ → ो
+    "ऍ": "ए", "ऎ": "ए",  # ऍ ऎ → ए
+    "ऑ": "ओ", "ऒ": "ओ",  # ऑ ऒ → ओ
+    "ॲ": "अ",  # ॲ → अ
+    # long → short independent vowels
+    "आ": "अ",  # आ → अ
+    "ई": "इ",  # ई → इ
+    "ऊ": "उ",  # ऊ → उ
+    "ॠ": "ऋ",  # ॠ → ऋ
+    "ॡ": "ऌ",  # ॡ → ऌ
+    "ऐ": "ए",  # ऐ → ए
+    "औ": "ओ",  # औ → ओ
+    # long → short dependent vowels (matras)
+    "ी": "ि",  # ी → ि
+    "ू": "ु",  # ू → ु
+    "ॄ": "ृ",  # ॄ → ृ
+    "ॣ": "ॢ",  # ॣ → ॢ
+    "ै": "े",  # ै → े
+    "ौ": "ो",  # ौ → ो
+})
+
+
+def hindi_normalize(word: str) -> str:
+    """Full Hindi orthographic normalization (module header): dead-n regex
+    first, then one table pass for every single-char fold/delete."""
+    return _HI_DEAD_N.sub("ं", word).translate(_HI_NORM)
 _HI_SUFFIXES = [
     "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां",
     "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
@@ -566,8 +640,9 @@ def hindi_light_stem(word: str) -> str:
     """Lucene HindiStemmer (Ramanathan & Rao light stemmer): strip the
     longest matching suffix from the fixed 5/4/3/2/1-char table; a suffix
     of length L applies only when len(word) > L + 1 (equivalently the stem
-    keeps >= 2 chars). Full suffix table; the accompanying HindiNormalizer
-    remains simplified to nukta removal (declared)."""
+    keeps >= 2 chars). Full suffix table, applied AFTER hindi_normalize as
+    in the Lucene chain (so long-matra suffix entries are dead there and
+    here alike — the table is ported verbatim, not re-derived)."""
     if len(word) < 3:
         return word
     for suf in _HI_SUFFIXES:

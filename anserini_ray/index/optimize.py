@@ -117,6 +117,11 @@ def recover_interrupted_optimize(index_dir: str) -> bool:
     return recovered
 
 
+# Row-group sizing for the rewritten postings parquet. Without an explicit
+# size, pyarrow's write_dataset flushes a row group per incoming record
+# batch — and compacted blocks are heavily chunked (see _norm).
+_ROW_GROUP_SIZE = 16384
+
 _POSTING_COLS = [
     "segment_id", "term", "first_local", "df", "cf", "max_tf",
     "doc_blob", "tf_blob", "blk_first", "blk_n", "blk_max_tf",
@@ -168,7 +173,11 @@ def _compact_dataset(ds, nparts: int):
                 "pos_blob",
                 pa.array([b""] * batch.num_rows, type=pa.large_binary()),
             )
-        return batch.select(_POSTING_COLS)
+        # map_groups blocks arrive as one chunk PER GROUP (thousands of
+        # 1-row chunks); left alone, the parquet writer emits one row group
+        # per chunk — a 34x file-size blowup and a catastrophic reader load
+        # (one row-group header decode per posting). Flatten here.
+        return batch.select(_POSTING_COLS).combine_chunks()
 
     def route(batch: pa.Table, keep_frag: bool) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -214,7 +223,11 @@ def optimize_index(
         out = _compact_dataset(ds, nparts)
         if out is None:
             return
-        out.write_parquet(tmp_dir, partition_cols=["segment_id"])
+        out.write_parquet(
+            tmp_dir,
+            partition_cols=["segment_id"],
+            row_group_size=_ROW_GROUP_SIZE,
+        )
         shutil.rmtree(old_dir, ignore_errors=True)
         os.replace(post_dir, old_dir)
         os.replace(tmp_dir, post_dir)
@@ -250,7 +263,11 @@ def optimize_index(
     out = _compact_dataset(ds, nparts)
     if out is None:
         return
-    out.write_parquet(tmp_dir, partition_cols=["segment_id"])
+    out.write_parquet(
+        tmp_dir,
+        partition_cols=["segment_id"],
+        row_group_size=_ROW_GROUP_SIZE,
+    )
     shutil.rmtree(old_dir, ignore_errors=True)
     os.makedirs(old_dir)
     for s in chosen:

@@ -102,6 +102,39 @@ def test_hindi_chain():
     assert a.analyze("घर में") == ["घर"]      # stopword dropped
 
 
+def test_hindi_normalizer_rules():
+    """Full HindiNormalizer rule set (Ramanathan & Rao folding), rule by
+    rule, through the whole analyze chain where stemming interacts."""
+    from anserini_ray.analysis.lang import hindi_normalize
+
+    a = make_analyzer({"language": "hi"})
+    # dead n (न + virama) → anusvara
+    assert a.analyze("अन्त") == ["अंत"]
+    # candrabindu → anusvara
+    assert a.analyze("चाँद") == ["चांद"]
+    # long → short dependent vowel, then the stemmer strips the short matra
+    assert a.analyze("नदी") == ["नद"]
+    # precomposed nukta consonant folds to base; decomposed (base + U+093C)
+    # reaches the identical token
+    assert a.analyze("ज़िंदगी") == a.analyze("ज़िंदगी") == ["जिंदग"]
+    # chandra o → o
+    assert a.analyze("ऑफिस") == ["ओफिस"]
+    # ZWNJ/ZWJ are UAX#29 Format chars: no token break, deleted in
+    # normalization (virama+ZWNJ == plain conjunct; ZWNJ+virama kills the
+    # dead-n lookahead, exactly as the single left-to-right pass does)
+    assert a.analyze("हिन्‌दी") == a.analyze("हिन्दी") == ["हिंद"]
+    assert a.analyze("हिन‌्दी") == ["हिनद"]
+    # stop match happens AFTER normalization ("हैं" is stored as "हें")
+    assert a.analyze("वे हैं") == ["वे"]
+    # Devanagari digits fold to ASCII before normalization
+    assert a.analyze("१२३") == ["123"]
+    # long → short independent vowels and remaining matra folds
+    assert hindi_normalize("औरई") == "ओरइ"
+    assert hindi_normalize("ॠॡ") == "ऋऌ"
+    assert hindi_normalize("गूॄौ") == "गुृो"
+    assert a.config_fingerprint().endswith("+hnorm2")
+
+
 def test_arabic_index_end_to_end(ray_session, tmp_path):
     import pyarrow as pa
 
