@@ -1170,6 +1170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": TD.quality_filter,
         "chunk_documents": TD.chunk_documents,
         "ngram_counts": TD.ngram_counts,
+        # --- temporal / event-stream operators (round 4) ---
+        "events_sessionized": TD.events_sessionized,
+        "session_stats": TD.session_stats,
+        "events_asof": TD.events_asof,
+        "events_range_join": TD.events_range_join,
         # --- training-data ops (rows-only: non-SQL-expressible) ---
         "simhash_groups": TD.simhash_groups,
         "simhash_pairs": TD.simhash_pairs,
@@ -1231,6 +1236,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": TD.QUALITY_FILTER_SQL,
         "chunk_documents": TD.CHUNK_DOCUMENTS_SQL,
         "ngram_counts": TD.NGRAM_COUNTS_SQL,
+        # temporal / event-stream operators (round 4)
+        "events_sessionized": TD.EVENTS_SESSIONIZED_SQL,
+        "session_stats": TD.SESSION_STATS_SQL,
+        "events_asof": TD.EVENTS_ASOF_SQL,
+        "events_range_join": TD.EVENTS_RANGE_JOIN_SQL,
         "hash_split": TD.HASH_SPLIT_SQL,
         "simhash_pairs": TD.SIMHASH_PAIRS_SQL,
         "simhash_groups": TD.SIMHASH_GROUPS_SQL,

@@ -1005,3 +1005,135 @@ TOP_USERS_SQL = """
     FROM events GROUP BY user_id
     ORDER BY n_events DESC, user_id ASC LIMIT 20
 """
+
+
+# -------------------------------------------- temporal operators (stages/temporal.py)
+# Gap / window choices exercise real structure in the synthetic event log:
+# per-user inter-event gaps have p10 ≈ 69 min and median ≈ 7.3 h, so a 4 h
+# session gap yields a mix of multi-event and singleton sessions, a 6 h range
+# window leaves most-but-not-all counts zero, and purchase→click as-of leaves
+# ~7% of purchases unmatched (the -1 branch).
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000
+_RANGE_WINDOW_US = 6 * 3600 * 1_000_000
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _events(sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_sessionized(sf_dir: str):
+    """Per-event gap sessionization (4 h gap): event_id, user_id,
+    session_idx, session_seq."""
+    from ..stages import temporal as TP
+
+    return TP.sessionize(
+        _events(sf_dir, ["event_id", "ts", "user_id"]), _SESSION_GAP_US
+    )
+
+
+_SESSION_CTE = f"""
+    o AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_SESSION_GAP_US} THEN 1
+                  ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM o
+    )
+"""
+
+EVENTS_SESSIONIZED_SQL = f"""
+    WITH {_SESSION_CTE}
+    SELECT event_id, user_id, session_idx,
+           CAST(row_number() OVER (PARTITION BY user_id, session_idx
+                                   ORDER BY ts, event_id) - 1 AS BIGINT)
+             AS session_seq
+    FROM s
+"""
+
+
+def session_stats(sf_dir: str):
+    """Per-session aggregates (same single shuffle as sessionize): user_id,
+    session_idx, n_events, duration_us, sum_value."""
+    from ..stages import temporal as TP
+
+    return TP.session_stats(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        _SESSION_GAP_US,
+    )
+
+
+SESSION_STATS_SQL = f"""
+    WITH {_SESSION_CTE}
+    SELECT user_id, session_idx, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+def events_asof(sf_dir: str):
+    """As-of join: each purchase → latest same-user click with
+    click.ts <= purchase.ts (ties → largest click event_id); -1 when no
+    prior click exists."""
+    from ..stages import temporal as TP
+
+    return TP.asof_join(
+        _events(sf_dir, _EVENT_COLS), "purchase", "click"
+    )
+
+
+EVENTS_ASOF_SQL = """
+    WITH u AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left,
+             CASE WHEN event_type = 'click' THEN event_id END AS r_id,
+             CASE WHEN event_type = 'click' THEN ts END AS r_ts
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    f AS (
+      SELECT event_id, user_id, ts, is_left,
+             last_value(r_id IGNORE NULLS) OVER w AS m_id,
+             last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id,
+           COALESCE(m_id, -1) AS matched_event_id,
+           COALESCE(epoch_us(ts) - epoch_us(m_ts), -1) AS lag_us
+    FROM f WHERE is_left = 1
+"""
+
+
+def events_range_join(sf_dir: str):
+    """Range join: each error → count + sum(value) of same-user clicks in
+    the preceding 6 h (inclusive both ends)."""
+    from ..stages import temporal as TP
+
+    return TP.range_count_join(
+        _events(sf_dir, _EVENT_COLS), "error", "click", _RANGE_WINDOW_US
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+    SELECT l.event_id, l.user_id,
+           count(r.event_id) AS n_in_window,
+           round(COALESCE(sum(r.value), 0), 4) AS sum_value_in_window
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON r.user_id = l.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
+    GROUP BY l.event_id, l.user_id
+"""
