@@ -75,10 +75,16 @@ def _token_counter(tokenizer: str, text_col: str):
     counts consistent with the index's own tokenization."""
     if tokenizer == "split":
         def count(batch: pa.Table) -> np.ndarray:
-            return np.fromiter(
-                (len((t or "").split()) for t in batch[text_col].to_pylist()),
-                dtype=np.int64,
-                count=batch.num_rows,
+            # RE2 \S+ run count == the SQL oracle's regexp_split \s+
+            # contract, vectorized (Arrow kernel)
+            import pyarrow.compute as pc
+
+            return (
+                pc.fill_null(
+                    pc.count_substring_regex(batch[text_col], r"\S+"), 0
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
     elif tokenizer == "analyzer":
         from ..analysis.analyzer import tokenize

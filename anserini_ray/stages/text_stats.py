@@ -111,16 +111,22 @@ class TokenCounter:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ws = np.fromiter(
-            (len((t or "").split()) for t in texts), dtype=np.int64, count=len(texts)
+        # RE2 \S+ run count == the SQL oracle's regexp_split \s+ contract
+        # (both RE2, ASCII whitespace), vectorized — NOT Python str.split(),
+        # which adds Unicode whitespace classes
+        ws = pc.cast(
+            pc.fill_null(
+                pc.count_substring_regex(batch[self.text_col], r"\S+"), 0
+            ),
+            pa.int64(),
         )
+        texts = batch[self.text_col].to_pylist()
         analyzed = np.fromiter(
             (len(self.analyzer.analyze(t or "")) for t in texts),
             dtype=np.int64,
             count=len(texts),
         )
-        return batch.append_column("ws_tokens", pa.array(ws)).append_column(
+        return batch.append_column("ws_tokens", ws).append_column(
             "analyzed_tokens", pa.array(analyzed)
         )
 
@@ -137,6 +143,54 @@ def rolling_fingerprint(text: str) -> int:
     for b in text.encode("utf-8"):
         h = (h ^ np.uint64(b)) * _FP_BASE
     return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+# Padded byte-matrix budget for the vectorized fingerprint kernel. Batches
+# whose (n_docs x max_len) matrix would exceed this are split along the
+# length-sorted order, so each sub-batch pads against a near-uniform length.
+_FP_MATRIX_BUDGET = 64 << 20
+
+
+def rolling_fingerprints_batch(texts: list) -> np.ndarray:
+    """Vectorized FNV-1a over a batch: identical output to
+    rolling_fingerprint per doc, but the sequential per-byte chain runs
+    ACROSS docs — docs sorted by length desc into a column-major padded
+    byte matrix, then one (xor, multiply) vector op per byte position over
+    the shrinking still-active prefix. O(total_bytes) vector work +
+    O(max_len) loop overhead instead of O(total_bytes) Python-object ops
+    (~100x on normal documents)."""
+    n = len(texts)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    enc = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    order = np.argsort(-lens, kind="stable")
+    start = 0
+    while start < n:
+        # grow the sub-batch until the padded matrix would blow the budget
+        max_len = max(int(lens[order[start]]), 1)
+        stop = min(n, start + max(1, _FP_MATRIX_BUDGET // max_len))
+        idx = order[start:stop]
+        m = len(idx)
+        sub_lens = lens[idx]
+        buf = np.zeros((m, max_len), dtype=np.uint8, order="F")
+        for r, i in enumerate(idx):
+            e = enc[i]
+            if e:
+                buf[r, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+        h = np.full(m, _FP_INIT, dtype=np.uint64)
+        # descending lengths -> the active set at byte j is a prefix
+        counts = np.searchsorted(-sub_lens, -np.arange(1, max_len + 1), side="right")
+        for j in range(max_len):
+            k = counts[j]
+            if k == 0:
+                break
+            hk = h[:k]
+            np.multiply(hk ^ buf[:k, j], _FP_BASE, out=hk)
+        out[idx] = h
+        start = stop
+    return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 class Fingerprint:
@@ -157,10 +211,7 @@ class Fingerprint:
         )
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")  # uint64 overflow is the algorithm
-            fps = pa.array(
-                [rolling_fingerprint(t or "") for t in texts],
-                type=pa.int64(),
-            )
+            fps = pa.array(rolling_fingerprints_batch(texts), type=pa.int64())
         # 'fingerprint' keeps its original round-1 type/semantics (FNV-1a
         # int64); the md5 hex prefix is the separately-named cross-engine
         # content hash (round-2 briefly swapped these — a breaking schema

