@@ -11,6 +11,9 @@
       -method {exact,minhash,simhash} [-threshold J]
   python -m anserini_ray.cli split  -input <parquet> -output <dir> \
       [-weights 80,10,10]
+  python -m anserini_ray.cli transform -input <parquet|dir> -output <dir> \
+      -op {pii_redact,quality,fingerprint,token_counts,lang_id}
+      (resumable: one partition per input shard; re-run skips finished)
 
 (Reference analogs: `IndexCollection.main` args at IndexArgs.java,
 `SearchCollection.main` args at SearchArgs.java.) The CLI owns the Ray
@@ -20,6 +23,7 @@ session (guarded init); library code never does.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -335,7 +339,57 @@ def cmd_split(argv) -> int:
     return 0
 
 
-_COMMANDS = {"index": None, "search": None, "dedup": None, "split": None}
+def cmd_transform(argv) -> int:
+    """Resumable map-only corpus transform: one output partition per input
+    shard; re-running skips finished partitions (see anserini_ray/sinks.py)."""
+    p = argparse.ArgumentParser(prog="anserini_ray transform")
+    p.add_argument("-input", required=True, help="parquet file or dir of shards")
+    p.add_argument("-output", required=True, help="output partition dir")
+    p.add_argument("-op", required=True,
+                   choices=["pii_redact", "quality", "fingerprint",
+                            "token_counts", "lang_id"])
+    p.add_argument("-textCol", default="text")
+    p.add_argument("-threads", type=int, default=None)
+    a = p.parse_args(argv)
+    _init_ray(a.threads)
+    import glob as _glob
+
+    from .sinks import resumable_transform_write
+
+    paths = (
+        sorted(_glob.glob(os.path.join(a.input, "*.parquet")))
+        if os.path.isdir(a.input)
+        else [a.input]
+    )
+    text_col = a.textCol
+    op = a.op
+
+    def factory():
+        from .stages import text_stats as T
+
+        if op == "pii_redact":
+            return T.PiiRedact(text_col=text_col)
+        if op == "quality":
+            return lambda b: T.quality_batch(b, text_col=text_col)
+        if op == "fingerprint":
+            return T.Fingerprint(text_col=text_col)
+        if op == "token_counts":
+            return T.TokenCounter(text_col=text_col)
+        return T.LanguageId(text_col=text_col)
+
+    stats = resumable_transform_write(paths, factory, a.output)
+    print(
+        f"{stats['n_written']} partitions written, "
+        f"{stats['n_skipped']} skipped (already done), "
+        f"{stats['rows_out']} rows -> {a.output}"
+    )
+    return 0
+
+
+_COMMANDS = {
+    "index": None, "search": None, "dedup": None, "split": None,
+    "transform": None,
+}
 
 
 def main() -> int:
@@ -348,6 +402,8 @@ def main() -> int:
         return cmd_dedup(sys.argv[2:])
     if sys.argv[1] == "split":
         return cmd_split(sys.argv[2:])
+    if sys.argv[1] == "transform":
+        return cmd_transform(sys.argv[2:])
     return cmd_search(sys.argv[2:])
 
 
