@@ -1170,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": TD.quality_filter,
         "chunk_documents": TD.chunk_documents,
         "ngram_counts": TD.ngram_counts,
+        "heavy_hitters": TD.heavy_hitters,
         # --- temporal / event-stream operators (round 4) ---
         "events_sessionized": TD.events_sessionized,
         "session_stats": TD.session_stats,
@@ -1236,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": TD.QUALITY_FILTER_SQL,
         "chunk_documents": TD.CHUNK_DOCUMENTS_SQL,
         "ngram_counts": TD.NGRAM_COUNTS_SQL,
+        "heavy_hitters": TD.HEAVY_HITTERS_SQL,
         # temporal / event-stream operators (round 4)
         "events_sessionized": TD.EVENTS_SESSIONIZED_SQL,
         "session_stats": TD.SESSION_STATS_SQL,

@@ -1007,6 +1007,46 @@ TOP_USERS_SQL = """
 """
 
 
+# ------------------------------------------ heavy hitters (Misra–Gries sketch)
+
+_MG_CAPACITY = 16_384  # >= the corpus's distinct bigrams (<=931 across sf
+# tiers): no counter ever decrements, so the sketch is provably exact and
+# shares the exact SQL oracle (same degenerate-exact pattern as the
+# LSH/IVF ANN oracles); the approximate regime is property-tested in pytest
+
+
+def heavy_hitters(sf_dir: str, k: int = 100):
+    """Top-k corpus bigrams via the mergeable Misra–Gries summary —
+    capacity-bounded intermediates instead of ngram_counts' full partial
+    vocabulary (the 100-TB path). Columns: gram, est_count, max_count,
+    n_total."""
+    from ..stages.sketch import heavy_hitters as HH
+
+    return HH(
+        _docs(sf_dir, ["text"]), n=2, capacity=_MG_CAPACITY, k=k
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    b2 AS (
+      SELECT ts[i] || ' ' || ts[i+1] AS gram
+      FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+    ),
+    tot AS (SELECT count(*) AS n_total FROM b2)
+    SELECT gram, count(*) AS est_count,
+           count(*) + (SELECT n_total FROM tot) // {_MG_CAPACITY + 1}
+             AS max_count,
+           (SELECT n_total FROM tot) AS n_total
+    FROM b2
+    GROUP BY gram ORDER BY est_count DESC, gram ASC LIMIT 100
+"""
+
+
 # -------------------------------------------- temporal operators (stages/temporal.py)
 # Gap / window choices exercise real structure in the synthetic event log:
 # per-user inter-event gaps have p10 ≈ 69 min and median ≈ 7.3 h, so a 4 h
