@@ -424,6 +424,18 @@ def build_index_streaming(
                 and m.get("rows") == u["rows"]
             ):
                 resumed[uid] = m
+    # Completed-build idempotency: if EVERY unit is resumable and a manifest
+    # for this exact input already exists, return it untouched — re-running
+    # must not reach _clean_streaming, which would delete the combined files
+    # a post-build compaction (or a manual optimize_index) left in place of
+    # the per-unit u-files.
+    if len(resumed) == len(units) and units:
+        try:
+            existing = IndexManifest.read(index_dir)
+        except Exception:
+            existing = None
+        if existing is not None and existing.fingerprint == fingerprint:
+            return existing
     _clean_streaming(index_dir, set(resumed))
     todo = [u for u in units if u["unit_id"] not in resumed]
     _mark("plan")
@@ -534,6 +546,25 @@ def build_index_streaming(
         segments=segments,
     )
     manifest.write(index_dir)
+
+    # Post-build auto-compaction, same hook as append: a bulk build whose
+    # units-per-segment crosses the threshold leaves every posting list
+    # fragmented across that many runs — reader load and head-term decode
+    # scale with it (measured: a 16M-doc single segment built from 135 units
+    # = 139.8M run rows, ~9 min reader load; ~1M rows after compaction).
+    # Results are bit-identical; only the file layout changes.
+    touched = {int(s["segment_id"]) for s in segments}
+    compacted = _auto_compact(
+        index_dir, markers, touched, config.auto_compact_unit_runs,
+        config.shuffle_partitions,
+    )
+    _mark("auto_compact")
+    if compacted:
+        # persist the compaction timing (manifest content is otherwise
+        # unchanged; a crash before this re-write leaves a complete,
+        # merely-uncompacted-timed manifest)
+        manifest.counters["stage_secs"] = stage_secs
+        manifest.write(index_dir)
     return manifest
 
 

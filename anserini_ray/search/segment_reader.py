@@ -154,11 +154,17 @@ class SegmentReader:
 
             recover_interrupted_optimize(index_dir)
         post = pq.read_table(post_path)
-        # order rows by (term, first_local) so a term's runs are adjacent
+        # Order rows by (term, first_local) so a term's runs are adjacent —
+        # but ONLY as a permutation (_perm: sorted position -> raw row id).
+        # The previous post.take(order) materialized a re-sorted copy of the
+        # WHOLE table including the varint blobs: on a run-fragmented 16M-doc
+        # single segment (139.8M run rows, 4.7 GB of blobs) that cost 10+
+        # minutes and tens of GB at every reader load. Blobs and per-row
+        # arrays stay in parquet read order; every access maps through _perm.
         order = pc.sort_indices(
             post, sort_keys=[("term", "ascending"), ("first_local", "ascending")]
         )
-        post = post.take(order)
+        self._perm = order.to_numpy(zero_copy_only=False).astype(np.int64)
         self._rows = post
         self._df = post["df"].to_numpy()
         self._cf = post["cf"].to_numpy()
@@ -171,21 +177,25 @@ class SegmentReader:
         self._blk_min_dl = post["blk_min_dl"].combine_chunks()
         self._blk_doc_off = post["blk_doc_off"].combine_chunks()
         self._blk_tf_off = post["blk_tf_off"].combine_chunks()
-        # term -> contiguous row range [lo, hi): run boundaries computed
-        # vectorized and looked up by binary search over the sorted Arrow
-        # term column — a Python dict over the posting dictionary costs tens
-        # of GB on a realistic (million-term) vocabulary
-        terms_col = post["term"].combine_chunks()
-        nrows = len(terms_col)
+        # term -> contiguous SORTED-position range [lo, hi): run boundaries
+        # computed vectorized over a transient sorted gather of the term
+        # column only (dropped after this block), looked up by binary search
+        # — a Python dict over the posting dictionary costs tens of GB on a
+        # realistic (million-term) vocabulary
+        nrows = post.num_rows
         if nrows:
+            terms_sorted = post["term"].combine_chunks().take(order)
             neq = pc.invert(
-                pc.equal(terms_col.slice(0, nrows - 1), terms_col.slice(1))
+                pc.equal(
+                    terms_sorted.slice(0, nrows - 1), terms_sorted.slice(1)
+                )
             )
             change = neq.to_numpy(zero_copy_only=False)
             run_bounds = np.concatenate(
                 [[0], np.flatnonzero(change) + 1, [nrows]]
             ).astype(np.int64)
-            uniq_terms = terms_col.take(pa.array(run_bounds[:-1]))
+            uniq_terms = terms_sorted.take(pa.array(run_bounds[:-1]))
+            del terms_sorted
         else:
             run_bounds = np.zeros(1, dtype=np.int64)
             uniq_terms = pa.array([], type=pa.string())
@@ -270,20 +280,21 @@ class SegmentReader:
 
     def df(self, term: str) -> int:
         r = self._term_range.get(term)
-        return int(self._df[r[0] : r[1]].sum()) if r else 0
+        return int(self._df[self._perm[r[0] : r[1]]].sum()) if r else 0
 
     def cf(self, term: str) -> int:
         r = self._term_range.get(term)
-        return int(self._cf[r[0] : r[1]].sum()) if r else 0
+        return int(self._cf[self._perm[r[0] : r[1]]].sum()) if r else 0
 
     def max_tf(self, term: str) -> int:
         r = self._term_range.get(term)
-        return int(self._row_max_tf[r[0] : r[1]].max()) if r else 0
+        return int(self._row_max_tf[self._perm[r[0] : r[1]]].max()) if r else 0
 
     def iter_terms(self):
         """(term, df, cf) over this segment's dictionary (merged runs)."""
         for term, (lo, hi) in self._term_range.items():
-            yield term, int(self._df[lo:hi].sum()), int(self._cf[lo:hi].sum())
+            rows = self._perm[lo:hi]
+            yield term, int(self._df[rows].sum()), int(self._cf[rows].sum())
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Decode full posting list -> (local doc ords int64, tfs int32);
@@ -296,9 +307,9 @@ class SegmentReader:
             return None
         lo, hi = r
         if hi - lo == 1:
-            out = self._decode_row(lo)
+            out = self._decode_row(int(self._perm[lo]))
         else:
-            parts = [self._decode_row(i) for i in range(lo, hi)]
+            parts = [self._decode_row(int(i)) for i in self._perm[lo:hi]]
             out = (
                 np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]),
@@ -324,6 +335,7 @@ class SegmentReader:
         return self._raw_local
 
     def _decode_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        # i is a RAW row id (already mapped through _perm by callers)
         df = int(self._df[i])
         gaps = varint_decode(self._doc_blob[i].as_py(), df)
         ords = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
@@ -339,7 +351,8 @@ class SegmentReader:
             return None
         lo, hi = r
         firsts, ns, mts, mds, rows_, lblk = [], [], [], [], [], []
-        for i in range(lo, hi):
+        for i in self._perm[lo:hi]:  # raw row ids, in (term, first_local) order
+            i = int(i)
             bf = self._blk_first[i].values.to_numpy()
             firsts.append(bf)
             ns.append(self._blk_n[i].values.to_numpy())
@@ -400,7 +413,8 @@ class SegmentReader:
             )
         pos_col = self._rows["pos_blob"].combine_chunks()
         all_ords, all_tfs, all_pos = [], [], []
-        for i in range(lo, hi):
+        for i in self._perm[lo:hi]:
+            i = int(i)
             ords, tfs = self._decode_row(i)
             blob = pos_col[i].as_py()
             if not blob:
