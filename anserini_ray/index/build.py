@@ -730,12 +730,27 @@ def _hash_agg_term_stats(skinny, shuffle_partitions: int | None):
 def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None,
                     term_counts: dict[int, int] | None = None) -> dict[int, int]:
     """Global df/cf per term + per-segment termstats sidecars from the skinny
-    (segment_id, term, df, cf) rows. ONE sort-based groupby(term); the
-    global stats are attached back via a broadcast map-side join (`ray.put`
-    once, read per task, vectorized `pc.index_in` hash lookup) below a vocab
-    cap, or a distributed hash join above it. Returns per-segment posting-run
-    row counts (manifest metadata), computed as narrow map partials."""
-    global_stats = _hash_agg_term_stats(skinny, shuffle_partitions)
+    (segment_id, term, df, cf) rows. The sidecar is first deduplicated to ONE
+    row per (segment_id, term) via the Arrow-kernel hash aggregate — skinny
+    arrives at unit granularity, so writing it raw repeats every term
+    units-per-segment times (measured: a 135-unit 16M-doc segment wrote a
+    139.8M-row / 1.7 GB sidecar whose load-time sort cost 275 s; distinct it
+    is 1M rows). The global stats are attached back via a broadcast map-side
+    join (`ray.put` once, read per task, vectorized `pc.index_in` hash
+    lookup) below a vocab cap, or a distributed hash join above it. Returns
+    per-segment posting-run row counts (manifest metadata), computed as
+    narrow map partials."""
+    from ..stages.hashagg import hash_aggregate
+
+    per_seg = hash_aggregate(
+        skinny,
+        keys=["segment_id", "term"],
+        aggs=[("sum", "df"), ("sum", "cf")],
+        out_names=["df", "cf"],
+        nparts=shuffle_partitions,
+    ).materialize()  # consumed twice (global agg + sidecar write); sized
+    # like the sidecar itself (distinct segment-terms), never raw rows
+    global_stats = _hash_agg_term_stats(per_seg, shuffle_partitions)
     vocab_size = global_stats.count()
     if vocab_size <= BROADCAST_VOCAB_LIMIT:
         blocks = [t for t in ray.get(global_stats.to_arrow_refs()) if t.num_rows]
@@ -770,14 +785,14 @@ def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None,
                 names=["segment_id", "term", "gdf", "gcf"],
             )
 
-        stats = skinny.select_columns(["segment_id", "term"]).map_batches(
+        stats = per_seg.select_columns(["segment_id", "term"]).map_batches(
             attach_stats, batch_format="pyarrow"
         )
     else:
         # huge-vocab path: distributed hash join
         avail_cpus = int(ray.cluster_resources().get("CPU", 8))
         nparts = min(shuffle_partitions or 32, max(2, avail_cpus // 2))
-        stats = skinny.select_columns(["segment_id", "term"]).join(
+        stats = per_seg.select_columns(["segment_id", "term"]).join(
             global_stats, "inner", nparts, on=("term",)
         )
     stats.write_parquet(
