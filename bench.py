@@ -259,11 +259,17 @@ def run_zipf_bench(num_cpus: int) -> dict:
 
     mismatch = 0
     qstats = {"build_sec": round(build_sec, 2)}
+    # ONE reader load shared by every (k, prune) config: prune is a plain
+    # attribute, and re-loading per config multiplies reader-load cost by 6
+    # (at 16M docs/segment that dwarfed the queries themselves)
+    t0 = time.perf_counter()
+    s = LocalSearcher(index_dir)
+    qstats["reader_load_sec"] = round(time.perf_counter() - t0, 2)
     for k in (10, 100, 1000):
         results = {}
         timings = {}
         for label, prune in (("exhaustive", False), ("pruned", True)):
-            s = LocalSearcher(index_dir, prune=prune)
+            s.prune = prune
             s.search(queries[0], k=k)  # warm (mmap + postings cache)
             t0 = time.perf_counter()
             out = [s.search(q, k=k) for q in queries]
