@@ -275,6 +275,12 @@ class SegmentReader:
         self.global_cf = _SortedTermMap(terms_sorted, ts["gcf"].to_numpy())
 
     # ------------------------------------------------------------------ api
+    def clear_caches(self) -> None:
+        """Drop the decoded-postings memo (for fair A/B benchmarking of
+        query strategies that would otherwise share decode work)."""
+        self._decode_cache.clear()
+        self._decode_cache_postings = 0
+
     def has_term(self, term: str) -> bool:
         return term in self._term_range
 

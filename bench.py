@@ -270,6 +270,11 @@ def run_zipf_bench(num_cpus: int) -> dict:
         timings = {}
         for label, prune in (("exhaustive", False), ("pruned", True)):
             s.prune = prune
+            # fair A/B: each mode starts from an empty decode cache + the
+            # same single-query warm (otherwise the second mode free-rides
+            # on the first mode's decoded postings)
+            for r in s.readers:
+                r.clear_caches()
             s.search(queries[0], k=k)  # warm (mmap + postings cache)
             t0 = time.perf_counter()
             out = [s.search(q, k=k) for q in queries]
