@@ -84,7 +84,13 @@ class LocalSearcher:
                 self.manifest.doc_count, self.manifest.sum_total_tf
             )
         self.analyzer = make_analyzer(analyzer_config)
-        self.prune = prune and similarity == "bm25"  # bounds are BM25-only
+        # prune: False | True | "auto". Bounds are BM25-only. "auto" enables
+        # block-max pruning per segment once it is big enough to win:
+        # measured break-even at 1–8M docs/segment (the vectorized
+        # exhaustive kernel stays memory-bandwidth-fast while postings are
+        # cache-resident) and a 1.6–2.1× win at 16M docs (BASELINE.md
+        # round-4 rows), so the threshold is 10M.
+        self.prune = prune if similarity == "bm25" else False
         # score-tie ordering: "docid" (docid string ASC —
         # SearchCollection.BREAK_SCORE_TIES_BY_DOCID) or "tweetid"
         # (numeric tweet id DESC — BREAK_SCORE_TIES_BY_TWEETID,
@@ -92,6 +98,17 @@ class LocalSearcher:
         if tie_break not in ("docid", "tweetid"):
             raise ValueError(f"tie_break must be docid|tweetid: {tie_break!r}")
         self.tie_break = tie_break
+
+    # segments this large are past the exhaustive kernel's cache-resident
+    # sweet spot; see the prune docstring above
+    PRUNE_AUTO_MIN_DOCS = 10_000_000
+
+    def _prune_for(self, reader) -> bool:
+        """Per-segment pruning decision: explicit True/False wins; "auto"
+        prunes only segments past PRUNE_AUTO_MIN_DOCS."""
+        if self.prune == "auto":
+            return reader.doc_count >= self.PRUNE_AUTO_MIN_DOCS
+        return bool(self.prune)
 
     def _tie_key(self, docid: str):
         if self.tie_break == "tweetid":
@@ -296,14 +313,18 @@ class LocalSearcher:
         clauses = self._clauses(query_text)
         per_seg = []
         if clauses:
-            fn = self._segment_topk_pruned if self.prune else self._segment_topk
             if ts_range is not None:
                 per_seg = [
                     self._segment_topk(r, clauses, k, ts_range=ts_range)
                     for r in self.readers
                 ]
             else:
-                per_seg = [fn(r, clauses, k) for r in self.readers]
+                per_seg = [
+                    self._segment_topk_pruned(r, clauses, k)
+                    if self._prune_for(r)
+                    else self._segment_topk(r, clauses, k)
+                    for r in self.readers
+                ]
         hits = _merge_ranked(per_seg, k, key=self._tie_key)
         docids = [h[0] for h in hits]
         scores = np.array([h[1] for h in hits], dtype=np.float32)
@@ -1139,12 +1160,12 @@ def _make_segment_actor():
                 clauses = self.local._clauses(text)
                 per_seg = []
                 if clauses:
-                    fn = (
-                        self.local._segment_topk_pruned
-                        if self.local.prune
-                        else self.local._segment_topk
-                    )
-                    per_seg = [fn(r, clauses, k) for r in self.local.readers]
+                    per_seg = [
+                        self.local._segment_topk_pruned(r, clauses, k)
+                        if self.local._prune_for(r)
+                        else self.local._segment_topk(r, clauses, k)
+                        for r in self.local.readers
+                    ]
                 out[qid] = _merge_ranked(per_seg, k)
             return out
 

@@ -115,6 +115,26 @@ def test_pruned_matches_exhaustive(built_index):
         np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
 
 
+def test_prune_auto_per_segment(built_index):
+    """prune="auto" prunes only segments past PRUNE_AUTO_MIN_DOCS and is
+    result-identical to both fixed modes either side of the threshold."""
+    index_dir, *_ = built_index
+    from anserini_ray.search import LocalSearcher
+
+    s_off = LocalSearcher(index_dir, prune=False)
+    s_auto = LocalSearcher(index_dir, prune="auto")
+    # tiny segments: auto must choose the exhaustive kernel everywhere
+    assert all(not s_auto._prune_for(r) for r in s_auto.readers)
+    # force the threshold under the test segments: auto now prunes all
+    s_auto.PRUNE_AUTO_MIN_DOCS = 1
+    assert all(s_auto._prune_for(r) for r in s_auto.readers)
+    for qid, qtext in QUERIES:
+        d0, sc0 = s_off.search(qtext, k=25, adjust_ties=False)
+        d1, sc1 = s_auto.search(qtext, k=25, adjust_ties=False)
+        assert d0 == d1, f"q{qid}"
+        np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
+
+
 def test_ties_adjust_and_trec_format(built_index):
     index_dir, *_ = built_index
     from anserini_ray.search import LocalSearcher
