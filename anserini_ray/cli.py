@@ -14,6 +14,8 @@
   python -m anserini_ray.cli transform -input <parquet|dir> -output <dir> \
       -op {pii_redact,quality,fingerprint,token_counts,lang_id}
       (resumable: one partition per input shard; re-run skips finished)
+  python -m anserini_ray.cli optimize -index <dir> [-segments 0,3,7]
+      (standalone force-merge of posting runs; bit-identical results)
 
 (Reference analogs: `IndexCollection.main` args at IndexArgs.java,
 `SearchCollection.main` args at SearchArgs.java.) The CLI owns the Ray
@@ -339,6 +341,28 @@ def cmd_split(argv) -> int:
     return 0
 
 
+def cmd_optimize(argv) -> int:
+    """Force-merge posting runs of an EXISTING index (the reference's
+    -optimize as a standalone pass: run after heavy appends, or on bulk
+    builds that predate auto-compaction). Results are bit-identical; only
+    the file layout changes."""
+    p = argparse.ArgumentParser(prog="anserini_ray optimize")
+    p.add_argument("-index", required=True)
+    p.add_argument("-segments", default=None,
+                   help="comma-separated segment ids (default: whole index)")
+    p.add_argument("-threads", type=int, default=None)
+    a = p.parse_args(argv)
+    _init_ray(a.threads)
+    from .index.optimize import optimize_index
+
+    segs = (
+        [int(x) for x in a.segments.split(",")] if a.segments else None
+    )
+    optimize_index(a.index, segments=segs)
+    print(f"optimized {a.index}" + (f" segments={segs}" if segs else ""))
+    return 0
+
+
 def cmd_transform(argv) -> int:
     """Resumable map-only corpus transform: one output partition per input
     shard; re-running skips finished partitions (see anserini_ray/sinks.py)."""
@@ -388,7 +412,7 @@ def cmd_transform(argv) -> int:
 
 _COMMANDS = {
     "index": None, "search": None, "dedup": None, "split": None,
-    "transform": None,
+    "transform": None, "optimize": None,
 }
 
 
@@ -404,6 +428,8 @@ def main() -> int:
         return cmd_split(sys.argv[2:])
     if sys.argv[1] == "transform":
         return cmd_transform(sys.argv[2:])
+    if sys.argv[1] == "optimize":
+        return cmd_optimize(sys.argv[2:])
     return cmd_search(sys.argv[2:])
 
 
