@@ -1171,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": TD.chunk_documents,
         "ngram_counts": TD.ngram_counts,
         "heavy_hitters": TD.heavy_hitters,
+        "length_quantiles": TD.length_quantiles,
         # --- temporal / event-stream operators (round 4) ---
         "events_sessionized": TD.events_sessionized,
         "session_stats": TD.session_stats,
@@ -1238,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": TD.CHUNK_DOCUMENTS_SQL,
         "ngram_counts": TD.NGRAM_COUNTS_SQL,
         "heavy_hitters": TD.HEAVY_HITTERS_SQL,
+        "length_quantiles": TD.LENGTH_QUANTILES_SQL,
         # temporal / event-stream operators (round 4)
         "events_sessionized": TD.EVENTS_SESSIONIZED_SQL,
         "session_stats": TD.SESSION_STATS_SQL,

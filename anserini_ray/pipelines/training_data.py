@@ -1007,6 +1007,78 @@ TOP_USERS_SQL = """
 """
 
 
+# --------------------------------------- exact distributed quantiles
+_QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def length_quantiles(sf_dir: str):
+    """Exact token-count quantiles (quantile_cont semantics: linear
+    interpolation at q·(n−1)) WITHOUT a distributed sort or sampling: token
+    counts are a bounded integer domain, so a (value → count) histogram via
+    the Arrow hash aggregate + a driver-side cumulative walk gives exact
+    order statistics. At 100 TB the histogram stays ≤ distinct-count rows
+    (thousands) regardless of corpus size."""
+    from ..stages.hashagg import hash_aggregate
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_tokens": pc.cast(
+                    pc.fill_null(
+                        pc.count_substring_regex(batch["text"], r"\S+"), 0
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    hist_rows = hash_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(counts, batch_format="pyarrow"),
+        keys=["n_tokens"],
+        aggs=[("count", None)],
+        out_names=["cnt"],
+    ).take_all()  # bounded by the distinct token-count domain, not by docs
+    vals = np.array([r["n_tokens"] for r in hist_rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist_rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def order_stat(i: int) -> float:
+        return float(vals[np.searchsorted(cum, i, side="right")])
+
+    qs, out = [], []
+    for q in _QUANTILES:
+        pos = q * (n - 1)
+        lo = int(np.floor(pos))
+        frac = pos - lo
+        v = order_stat(lo)
+        if frac > 0:
+            v += frac * (order_stat(lo + 1) - v)
+        qs.append(q)
+        out.append(round(v, 6))
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "val": pa.array(out, type=pa.float64()),
+        }
+    )
+
+
+_QLIST = ", ".join(str(q) for q in _QUANTILES)
+LENGTH_QUANTILES_SQL = f"""
+    WITH t AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(unnest([{_QLIST}]) AS DOUBLE) AS q,
+           round(unnest(quantile_cont(n_tokens, [{_QLIST}])), 6) AS val
+    FROM t
+"""
+
+
 # ------------------------------------------ heavy hitters (Misra–Gries sketch)
 
 _MG_CAPACITY = 16_384  # >= the corpus's distinct bigrams (<=931 across sf
