@@ -200,17 +200,67 @@ def _compact_dataset(ds, nparts: int):
     return passthrough.union(compacted)
 
 
+def _dedup_termstats(index_dir: str, segments: list[int] | None) -> None:
+    """Rewrite termstats partitions as DISTINCT (term, gdf, gcf) rows.
+    Builds that predate the distinct sidecar wrote one row per (term, unit)
+    with identical global values — harmless to readers but up to
+    units-per-segment× bloat (measured 139×: 1.7 GB whose load-time sort
+    cost 275 s). Dedup of an already-distinct partition is a cheap no-op
+    rewrite. Each partition swap is atomic; every intermediate state
+    (mixed deduped/dup partitions) is valid, so no crash recovery needed
+    beyond clearing stray tmp dirs."""
+    ts_root = os.path.join(index_dir, "termstats")
+    if not os.path.isdir(ts_root):
+        return
+    want = None if segments is None else {int(s) for s in segments}
+
+    @ray.remote(num_cpus=1)
+    def _one(part_dir: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(part_dir, columns=["term", "gdf", "gcf"])
+        agg = t.group_by("term").aggregate([("gdf", "min"), ("gcf", "min")])
+        out = agg.rename_columns(["term", "gdf", "gcf"]).combine_chunks()
+        tmp = part_dir + ".optimizing"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(
+            out, os.path.join(tmp, "part-0.parquet"),
+            row_group_size=_ROW_GROUP_SIZE,
+        )
+        old = part_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(part_dir, old)
+        os.replace(tmp, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    jobs = []
+    for entry in os.listdir(ts_root):
+        if entry.endswith(".optimizing") or entry.endswith(".old"):
+            shutil.rmtree(os.path.join(ts_root, entry), ignore_errors=True)
+            continue
+        if not entry.startswith("segment_id="):
+            continue
+        sid = int(entry.split("=", 1)[1])
+        if want is not None and sid not in want:
+            continue
+        jobs.append(_one.remote(os.path.join(ts_root, entry)))
+    if jobs:
+        ray.get(jobs)
+
+
 def optimize_index(
     index_dir: str,
     shuffle_partitions: int | None = 32,
     segments: list[int] | None = None,
 ) -> None:
-    """Force-merge posting runs. segments=None compacts the whole index
-    (whole-directory atomic swap); a segment list compacts ONLY those
-    hive partitions (per-partition atomic swaps) — the shape the append
-    auto-compaction hook uses, so cost is proportional to the fragmented
-    segments, not the index."""
+    """Force-merge posting runs and dedup termstats sidecars. segments=None
+    compacts the whole index (whole-directory atomic swap); a segment list
+    compacts ONLY those hive partitions (per-partition atomic swaps) — the
+    shape the append auto-compaction hook uses, so cost is proportional to
+    the fragmented segments, not the index."""
     recover_interrupted_optimize(index_dir)
+    _dedup_termstats(index_dir, segments)
     post_dir = os.path.join(index_dir, "postings")
     tmp_dir = os.path.join(index_dir, "postings.optimizing")
     old_dir = os.path.join(index_dir, "postings.old")
