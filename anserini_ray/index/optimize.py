@@ -97,8 +97,12 @@ def recover_interrupted_optimize(index_dir: str) -> bool:
     """A crash between the os.replace calls of a swap leaves the index with
     postings/ (or, for a selective compaction, one of its segment_id=N
     partitions) missing while an intact copy sits in postings.old — restore
-    it. Called by optimize_index and by SegmentReader open. Returns True if
-    a recovery happened."""
+    it. Called by optimize_index and by SegmentReader open. Also restores
+    headless termstats partitions (same crash window in _dedup_termstats).
+    Returns True if a postings recovery happened."""
+    ts_root = os.path.join(index_dir, "termstats")
+    if os.path.isdir(ts_root):
+        _recover_termstats(ts_root)
     post_dir = os.path.join(index_dir, "postings")
     old_dir = os.path.join(index_dir, "postings.old")
     if not os.path.isdir(old_dir):
@@ -200,6 +204,39 @@ def _compact_dataset(ds, nparts: int):
     return passthrough.union(compacted)
 
 
+def _recover_termstats(ts_root: str) -> None:
+    """Restore termstats partitions left headless by a crash mid-swap.
+    A `.old` (original) or `.optimizing` (complete deduped copy) whose live
+    partition is missing is moved back into place; backups whose live
+    partition exists are stale and removed. `.old` wins over `.optimizing`
+    when both exist (the original is always a superset-valid state)."""
+    # Pass 1: .old backups — the original; restore it whenever the live
+    # partition is gone, otherwise the swap completed and it's stale.
+    for entry in os.listdir(ts_root):
+        if not entry.endswith(".old") or not entry.startswith("segment_id="):
+            continue
+        src = os.path.join(ts_root, entry)
+        live = os.path.join(ts_root, entry[: -len(".old")])
+        if os.path.isdir(live):
+            shutil.rmtree(src, ignore_errors=True)
+        else:
+            os.replace(src, live)
+    # Pass 2: .optimizing copies — after pass 1 a live partition exists for
+    # every segment that had an .old, so a still-headless .optimizing means
+    # the crash hit after rmtree(old): promote the complete deduped copy.
+    for entry in os.listdir(ts_root):
+        if not entry.endswith(".optimizing") or not entry.startswith(
+            "segment_id="
+        ):
+            continue
+        src = os.path.join(ts_root, entry)
+        live = os.path.join(ts_root, entry[: -len(".optimizing")])
+        if os.path.isdir(live):
+            shutil.rmtree(src, ignore_errors=True)
+        else:
+            os.replace(src, live)
+
+
 def _dedup_termstats(index_dir: str, segments: list[int] | None) -> None:
     """Rewrite termstats partitions as DISTINCT (term, gdf, gcf) rows.
     Builds that predate the distinct sidecar wrote one row per (term, unit)
@@ -207,11 +244,15 @@ def _dedup_termstats(index_dir: str, segments: list[int] | None) -> None:
     units-per-segment× bloat (measured 139×: 1.7 GB whose load-time sort
     cost 275 s). Dedup of an already-distinct partition is a cheap no-op
     rewrite. Each partition swap is atomic; every intermediate state
-    (mixed deduped/dup partitions) is valid, so no crash recovery needed
-    beyond clearing stray tmp dirs."""
+    (mixed deduped/dup partitions) is valid. Crash window: between the
+    two os.replace calls of a swap, the live partition is missing while
+    an intact original sits in `.old` (and a complete deduped copy in
+    `.optimizing`) — the cleanup loop below restores before it deletes,
+    mirroring recover_interrupted_optimize for postings."""
     ts_root = os.path.join(index_dir, "termstats")
     if not os.path.isdir(ts_root):
         return
+    _recover_termstats(ts_root)
     want = None if segments is None else {int(s) for s in segments}
 
     @ray.remote(num_cpus=1)
@@ -236,11 +277,10 @@ def _dedup_termstats(index_dir: str, segments: list[int] | None) -> None:
 
     jobs = []
     for entry in os.listdir(ts_root):
-        if entry.endswith(".optimizing") or entry.endswith(".old"):
-            shutil.rmtree(os.path.join(ts_root, entry), ignore_errors=True)
-            continue
         if not entry.startswith("segment_id="):
             continue
+        if entry.endswith(".optimizing") or entry.endswith(".old"):
+            continue  # handled (restored or removed) by _recover_termstats
         sid = int(entry.split("=", 1)[1])
         if want is not None and sid not in want:
             continue

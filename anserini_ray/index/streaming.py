@@ -289,6 +289,24 @@ class UnitWorker:
         return sub.select(["segment_id", "term", "df", "cf"])
 
 
+def _unit_files_exist(index_dir: str, marker: dict, store_docvecs: bool) -> bool:
+    """True iff every partition file the marker's unit wrote is still on
+    disk. Post-build auto-compaction replaces u-files with combined files,
+    so a marker alone does NOT prove the unit's rows are independently
+    recoverable — treating such a unit as resumable would let
+    _clean_streaming delete the combined files the rows now live in."""
+    uid = int(marker["unit_id"])
+    fn = f"u{uid:08d}.parquet"
+    subs = ["postings", "docmap"] + (["docvecs"] if store_docvecs else [])
+    for sid in marker.get("segments", {}):
+        for sub in subs:
+            if not os.path.exists(
+                os.path.join(index_dir, sub, f"segment_id={int(sid)}", fn)
+            ):
+                return False
+    return True
+
+
 def _load_markers(index_dir: str) -> dict[int, dict]:
     out = {}
     for p in glob.glob(os.path.join(index_dir, "units", "u*.json")):
@@ -424,18 +442,30 @@ def build_index_streaming(
                 and m.get("rows") == u["rows"]
             ):
                 resumed[uid] = m
-    # Completed-build idempotency: if EVERY unit is resumable and a manifest
-    # for this exact input already exists, return it untouched — re-running
-    # must not reach _clean_streaming, which would delete the combined files
-    # a post-build compaction (or a manual optimize_index) left in place of
-    # the per-unit u-files.
+    # Completed-build idempotency: if EVERY unit's marker matches and a
+    # manifest for this exact input already exists, return it untouched —
+    # re-running must not reach _clean_streaming, which would delete the
+    # combined files a post-build compaction (or a manual optimize_index)
+    # left in place of the per-unit u-files. Only a MISSING manifest falls
+    # through; an unreadable/corrupt one on a fully-marker-matched build
+    # aborts rather than silently cleaning and rebuilding.
     if len(resumed) == len(units) and units:
         try:
             existing = IndexManifest.read(index_dir)
-        except Exception:
+        except FileNotFoundError:
             existing = None
         if existing is not None and existing.fingerprint == fingerprint:
             return existing
+    # Markers alone don't prove resumability: auto-compaction replaces
+    # u-files with combined files, and _clean_streaming below deletes any
+    # file not named for a kept unit — so a unit whose files were compacted
+    # away must be REBUILT, never "kept" (its rows would be deleted with the
+    # combined files while its marker still claimed them complete).
+    resumed = {
+        uid: m
+        for uid, m in resumed.items()
+        if _unit_files_exist(index_dir, m, config.store_docvecs)
+    }
     _clean_streaming(index_dir, set(resumed))
     todo = [u for u in units if u["unit_id"] not in resumed]
     _mark("plan")

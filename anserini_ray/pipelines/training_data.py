@@ -1048,6 +1048,14 @@ def length_quantiles(sf_dir: str):
     def order_stat(i: int) -> float:
         return float(vals[np.searchsorted(cum, i, side="right")])
 
+    if n == 0:
+        # quantiles of nothing: all-null vals (mirrors quantile_cont's NULL)
+        return pa.table(
+            {
+                "q": pa.array(list(_QUANTILES), type=pa.float64()),
+                "val": pa.array([None] * len(_QUANTILES), type=pa.float64()),
+            }
+        )
     qs, out = [], []
     for q in _QUANTILES:
         pos = q * (n - 1)
@@ -1069,8 +1077,11 @@ def length_quantiles(sf_dir: str):
 _QLIST = ", ".join(str(q) for q in _QUANTILES)
 LENGTH_QUANTILES_SQL = f"""
     WITH t AS (
-      SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      -- COALESCE to 0 on NULL text: the Ray side fill_null's the count, so
+      -- the oracle must count null-text rows as 0 tokens, not skip them
+      SELECT COALESCE(CAST(len(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> x <> '')) AS BIGINT), 0) AS n_tokens
       FROM documents
     )
     SELECT CAST(unnest([{_QLIST}]) AS DOUBLE) AS q,

@@ -69,6 +69,20 @@ def resumable_transform_write(
 
     os.makedirs(out_dir, exist_ok=True)
     todo = pending_partitions(input_paths, out_dir)
+    # Reclaim tmp files orphaned by SIGKILLed workers of a previous run:
+    # their pids differ from this run's, so the writing task's own finally
+    # never sees them — without this sweep they'd accumulate in out_dir
+    # indefinitely. Swept for every partition (pending or complete); a
+    # resumed run owns the whole out_dir, so any pre-existing tmp is dead.
+    import glob as _glob
+
+    for i, p in enumerate(input_paths):
+        dst = os.path.join(out_dir, _part_name(i, p))
+        for stale in _glob.glob(f"{dst}.tmp.*"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
 
     @ray.remote(num_cpus=num_cpus)
     def _one(src: str, dst: str) -> int:

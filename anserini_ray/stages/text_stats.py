@@ -102,7 +102,19 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class TokenCounter:
     """Analyzer-equivalent token counting as an actor-pool stage (the
     analyzer is compiled once per actor). Emits doc token counts under both
-    the whitespace tokenizer and the full analysis chain."""
+    the whitespace tokenizer and the full analysis chain.
+
+    WHITESPACE CONTRACT (round-4 behavior change, documented per ADVICE):
+    ws_tokens counts runs of non-ASCII-whitespace via Arrow's RE2 ``\\S+``
+    — RE2's ``\\s`` is ASCII-only ([ \\t\\n\\r\\f\\v]). Earlier rounds used
+    Python str.split(), whose definition of whitespace additionally covers
+    Unicode separators (NBSP U+00A0, ideographic space U+3000, ...), so
+    documents containing those now count DIFFERENTLY than pre-round-4
+    derived data: "a\\u00a0b" is 1 ws_token under this contract, 2 under
+    str.split(). The ASCII contract is intentional — it matches the DuckDB
+    oracle's regexp_split_to_array('\\s+') exactly and stays fully
+    vectorized; pipelines needing Unicode-whitespace parity with legacy
+    output should recompute, not mix, the two generations."""
 
     def __init__(self, analyzer_config: dict | None = None, text_col: str = "text"):
         from ..analysis import make_analyzer

@@ -113,3 +113,61 @@ def test_resume_of_completed_compacted_build_is_noop(ray_session, corpus, tmp_pa
     assert _posting_files(index_dir) == before_files
     assert _run_all(index_dir) == before_results
     assert m2.doc_count == m1.doc_count and m2.fingerprint == m1.fingerprint
+
+
+def test_resume_past_fingerprint_guard_rebuilds_compacted_units(
+    ray_session, corpus, tmp_path
+):
+    """ADVICE r4 (medium): if a resumed re-run slips past the completed-build
+    idempotency guard (here: the manifest fingerprint was rewritten, as a
+    later append would), unit markers whose u-files were auto-compacted away
+    must NOT count as resumable — _clean_streaming would delete the combined
+    posting files while the markers still claimed the units complete,
+    silently corrupting the index. With the file-existence check the units
+    rebuild and results stay identical."""
+    import json
+
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        seg_shift=16, assume_sorted=True, auto_compact_unit_runs=8,
+        resume=True,
+    )
+    m1 = build_index(index_dir=index_dir, config=cfg, input_paths=corpus)
+    before_results = _run_all(index_dir)
+    assert not any(
+        "u0000" in f for fs in _posting_files(index_dir).values() for f in fs
+    )  # precondition: compacted (no per-unit files)
+
+    # defeat the idempotency guard the way an append would: manifest now
+    # carries a different fingerprint while unit markers keep the old one
+    mpath = os.path.join(index_dir, "manifest.json")
+    with open(mpath) as f:
+        man = json.load(f)
+    man["fingerprint"] = "not-the-build-fingerprint"
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+
+    m2 = build_index(index_dir=index_dir, config=cfg, input_paths=corpus)
+    assert m2.doc_count == m1.doc_count
+    assert m2.counters["indexed"] == m1.counters["indexed"]
+    # no unit may have been "resumed" from compacted-away files
+    assert m2.counters["resumed_units"] == 0
+    assert _run_all(index_dir) == before_results
+
+
+def test_unreadable_manifest_on_resumable_build_aborts(
+    ray_session, corpus, tmp_path
+):
+    """A corrupt (not merely missing) manifest on a fully-marker-matched
+    build must raise, not silently clean and rebuild."""
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        seg_shift=16, assume_sorted=True, auto_compact_unit_runs=8,
+        resume=True,
+    )
+    build_index(index_dir=index_dir, config=cfg, input_paths=corpus)
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        f.write("{ this is not json")
+    with pytest.raises(Exception) as ei:
+        build_index(index_dir=index_dir, config=cfg, input_paths=corpus)
+    assert not isinstance(ei.value, AssertionError)

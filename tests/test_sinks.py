@@ -106,3 +106,40 @@ def test_resumable_transform_empty_shard_schema(ray_session, tmp_path):
     assert stats["rows_out"] == 0 and stats["n_written"] == 1
     out = pq.read_table(os.path.join(out_dir, "part-00000-empty.parquet"))
     assert "fingerprint" in out.column_names and out.num_rows == 0
+
+
+def test_resume_reclaims_orphaned_tmp_files(ray_session, tmp_path):
+    """ADVICE r4 (low): tmp files left by SIGKILLed workers embed dead pids;
+    a resumed run must sweep them instead of letting them accumulate."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anserini_ray.sinks import resumable_transform_write
+
+    srcs = []
+    for i in range(3):
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(pa.table({"x": pa.array([i, i + 1], type=pa.int64())}), p)
+        srcs.append(p)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    # plant orphans with pids that no longer exist for a pending AND (after
+    # the first run) a completed partition
+    orphan_pending = os.path.join(out_dir, "part-00001-in1.parquet.tmp.999999")
+    open(orphan_pending, "w").write("junk")
+
+    def factory():
+        return lambda t: t
+
+    r1 = resumable_transform_write(srcs, factory, out_dir)
+    assert r1["n_written"] == 3
+    assert not os.path.exists(orphan_pending)
+
+    orphan_done = os.path.join(out_dir, "part-00000-in0.parquet.tmp.999998")
+    open(orphan_done, "w").write("junk")
+    r2 = resumable_transform_write(srcs, factory, out_dir)
+    assert r2["n_skipped"] == 3
+    assert glob.glob(os.path.join(out_dir, "*.tmp.*")) == []
