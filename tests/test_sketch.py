@@ -90,3 +90,54 @@ def test_heavy_hitters_approximate_regime(ray_session):
     # per doc: tokens [the,cat]*50 -> 'the cat' occurs 50 times
     est, mx = int(row["est_count"].iloc[0]), int(row["max_count"].iloc[0])
     assert est <= 20 * 50 <= mx
+
+
+def test_batch_summary_matches_reference_update():
+    """The vectorized per-block stage must produce a summary at least as
+    tight as the reference mg_update loop (an exact count table compressed
+    once accrues no more error than streaming decrements), obey the
+    capacity bound, and agree exactly when capacity >= distinct grams."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.stages.sketch import _batch_summary, _ngram_array
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(300)
+    ] + ["", "   ", None, "solo", "  spaced   out  tokens "]
+    arr = pa.array(texts, type=pa.string())
+
+    # gram extraction == the Python reference
+    ref_grams = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        ref_grams += [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+    got = _ngram_array(arr, 2).to_pylist()
+    assert sorted(got) == sorted(ref_grams)
+
+    # degenerate-exact: capacity >= distinct -> exact counts + N row
+    from collections import Counter
+
+    exact = Counter(ref_grams)
+    s = _batch_summary(arr, 2, capacity=10_000)
+    d = {g: c for g, c in zip(s["gram"].to_pylist(), s["n"].to_pylist())}
+    n_row = d.pop(None)
+    assert n_row == len(ref_grams)
+    assert d == dict(exact)
+
+    # compressed regime: capacity bound + MG estimate bounds hold
+    cap = 16
+    s2 = _batch_summary(arr, 2, capacity=cap)
+    d2 = {g: c for g, c in zip(s2["gram"].to_pylist(), s2["n"].to_pylist())}
+    n2 = d2.pop(None)
+    assert n2 == len(ref_grams)
+    assert len(d2) <= cap
+    err = len(ref_grams) // (cap + 1)
+    for g, est in d2.items():
+        assert est <= exact[g] <= est + err
+    for g, c in exact.items():  # every true heavy hitter is reported
+        if c > err:
+            assert g in d2
