@@ -10,14 +10,20 @@ code for:
 - WAV (RIFF PCM, 8/16-bit, mono or interleaved multichannel) — encode +
   decode
 
+- PNG (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced) —
+  encode + decode: zlib (stdlib) inflate + all five scanline filters
+  (None/Sub/Up/Average/Paeth) unfiltered in numpy
+
 plus numpy resampling kernels (nearest / bilinear image resize, audio
 window framing). Formats outside this set still raise NotImplementedError
-in the stages (documented); e.g. JPEG/PNG entropy coding is out of scope.
+in the stages (documented); JPEG/MP3/MP4 entropy coding remains
+library-bound and out of scope.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -117,6 +123,159 @@ def encode_bmp(img: np.ndarray) -> bytes:
     for r in range(h - 1, -1, -1):
         rows.append(img[r, :, ::-1].tobytes() + pad)
     return header + b"".join(rows)
+
+
+# --------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int16 inputs (left, up, up-left)."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. raw is (h, 1 + stride) uint8 (filter
+    byte + filtered scanline). Sub/Up are fully vectorized; Average/Paeth
+    have an unavoidable left-pixel data dependence, walked per pixel COLUMN
+    (w steps, each a vector over the bpp lanes) only on rows that use them."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype = int(raw[r, 0])
+        line = raw[r, 1:].copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            rec = line
+            for lane in range(bpp):
+                np.add.accumulate(
+                    rec[lane::bpp], dtype=np.uint8, out=rec[lane::bpp]
+                )
+        elif ftype == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            rec = line
+            up = prev.astype(np.int16)
+            rec[:bpp] += (up[:bpp] >> 1).astype(np.uint8)
+            for x in range(bpp, stride, bpp):
+                left = rec[x - bpp: x].astype(np.int16)
+                rec[x: x + bpp] += (
+                    (left + up[x: x + bpp]) >> 1
+                ).astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            rec = line
+            up = prev.astype(np.int16)
+            rec[:bpp] += up[:bpp].astype(np.uint8)  # a=c=0 -> predictor = b
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp: x].astype(np.int16)
+                b = up[x: x + bpp]
+                c = up[x - bpp: x]
+                rec[x: x + bpp] += _paeth_predict(a, b, c).astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = rec
+        prev = rec
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 array: (h, w) gray, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB (palette expands to this), or (h, w, 4) RGBA.
+    Pure stdlib zlib + numpy; raises on 16-bit, <8-bit, or Adam7 files."""
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = len(_PNG_SIG)
+    w = h = None
+    depth = ctype = interlace = None
+    palette = None
+    trns = None
+    idat = []
+    while i + 8 <= len(buf):
+        size, cid = struct.unpack_from(">I4s", buf, i)
+        body = buf[i + 8: i + 8 + size]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + size  # length + id + crc
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    px = _unfilter(raw, h, stride, ch)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = px.reshape(h, w)
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    img = px.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(img: np.ndarray, *, level: int = 6) -> bytes:
+    """uint8 (h, w) gray / (h, w, 2) gray+alpha / (h, w, 3) RGB /
+    (h, w, 4) RGBA -> PNG bytes (filter 0 scanlines, stdlib zlib)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, ch = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (1, 2, 3, 4):
+        ch = img.shape[2]
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        flat = img
+    else:
+        raise ValueError("expected (h, w[, {1,2,3,4}]) uint8")
+    h, w = flat.shape[:2]
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = flat.reshape(h, w * ch)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), level)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 # ------------------------------------------------------------------ resize

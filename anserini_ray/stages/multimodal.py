@@ -2,12 +2,13 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Decoder modes:
-- ``decoder="numpy"`` — REAL decoding for the formats the pure-numpy
-  codecs cover (PPM/PGM and uncompressed 24-bit BMP images, RIFF PCM WAV
-  audio; see stages/codecs.py): real pixels/samples, real bilinear
-  resize, real audio windowing. Formats needing entropy coders (JPEG/PNG/
-  MP3/MP4) still raise NotImplementedError — those libraries are absent
-  in this environment (declared).
+- ``decoder="numpy"`` — REAL decoding for the formats the pure-stdlib
+  codecs cover (PNG — all five scanline filters via zlib inflate + numpy
+  unfilter — PPM/PGM, uncompressed 24-bit BMP images, RIFF PCM WAV audio;
+  see stages/codecs.py): real pixels/samples, real bilinear resize, real
+  audio windowing. Formats needing non-stdlib entropy coders (JPEG/MP3/
+  MP4) still raise NotImplementedError — those libraries are absent in
+  this environment (declared).
 - ``decoder="fake"`` — deterministic stand-in (hash-seeded statistics) so
   the Ray-side plumbing — schema, batch sizing, actor signature, output
   layout — is testable for arbitrary media types.
@@ -105,6 +106,18 @@ class MediaFeatureExtract:
                 return (hist / max(1, img.shape[0] * img.shape[1])).astype(
                     np.float32
                 )
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                img = codecs.decode_png(payload)
+                if img.ndim == 3:
+                    # drop alpha for the luminance histogram
+                    color = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
+                    gray = color.mean(axis=2)
+                else:
+                    gray = img
+                hist, _ = np.histogram(
+                    gray, bins=self.feature_dim, range=(0, 256)
+                )
+                return (hist / max(1, gray.size)).astype(np.float32)
             if payload[:4] == b"RIFF":
                 samples, _sr = codecs.decode_wav(payload)
                 if samples.ndim > 1:
@@ -120,8 +133,8 @@ class MediaFeatureExtract:
                     (sq[bounds[1:]] - sq[bounds[:-1]]) / seg
                 ).astype(np.float32)
             raise NotImplementedError(
-                f"numpy decoder covers PPM/PGM, 24-bit BMP and PCM WAV; "
-                f"{media_type!r} payloads need an external library"
+                f"numpy decoder covers PPM/PGM, PNG, 24-bit BMP and PCM "
+                f"WAV; {media_type!r} payloads need an external library"
             )
         raise NotImplementedError(
             "real media decoding requires image/audio libraries not present "
@@ -194,8 +207,13 @@ class ImageResize:
                 return codecs.encode_bmp(
                     codecs.resize_bilinear(img, self.h, self.w)
                 )
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                img = codecs.decode_png(payload)
+                return codecs.encode_png(
+                    codecs.resize_bilinear(img, self.h, self.w)
+                )
             raise NotImplementedError(
-                "numpy resize covers PPM/PGM and 24-bit BMP payloads"
+                "numpy resize covers PPM/PGM, PNG and 24-bit BMP payloads"
             )
         if self.decoder != "fake":
             raise NotImplementedError(

@@ -3,6 +3,8 @@
 import json
 import struct
 
+import pytest
+
 import numpy as np
 import pyarrow as pa
 
@@ -194,3 +196,129 @@ def test_media_features_real_numpy(ray_session):
     # near the zero crossing at phase 0
     assert feats[2].max() < 1.0
     assert abs(np.median(feats[2]) - 0.32) < 0.05
+
+
+# ------------------------------------------------------------------- PNG
+
+def _spec_filter_png(img: np.ndarray, filter_types: list[int]) -> bytes:
+    """Independent PNG writer implementing the W3C spec filter formulas
+    directly (scalar loops, no shared code with the codec): each row is
+    filtered with the given type, then zlib-compressed into a valid PNG.
+    Exercises decode_png's unfilter against the published definitions."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        ch, ctype = 1, 0
+        flat = img[:, :, None]
+    else:
+        ch = img.shape[2]
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        flat = img
+    h, w = flat.shape[:2]
+    stride = w * ch
+    rows = flat.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = filter_types[r % len(filter_types)]
+        cur = rows[r]
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0            # left
+            b = prev[x]                                   # up
+            c = prev[x - ch] if x >= ch else 0            # up-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) % 256
+        out.append(ft)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_unfilter_all_five_filters_against_spec():
+    from anserini_ray.stages.codecs import decode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(11, 7), (9, 5, 2), (8, 13, 3), (6, 4, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4):
+            got = decode_png(_spec_filter_png(img, [ft]))
+            assert got.shape == img.shape, (shape, ft)
+            assert np.array_equal(got, img), (shape, ft)
+        # mixed filters per row (the realistic encoder output shape)
+        got = decode_png(_spec_filter_png(img, [4, 1, 3, 2, 0]))
+        assert np.array_equal(got, img), shape
+
+
+def test_png_roundtrip_and_palette():
+    from anserini_ray.stages.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(4)
+    for shape in [(5, 9), (7, 3, 3), (4, 4, 4), (6, 2, 2)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-built palette (color type 3) file with tRNS
+    import struct
+    import zlib
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"tRNS", bytes([10, 20]))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (2, 2, 4)
+    assert np.array_equal(got[..., :3], pal[idx])
+    assert got[0, 0, 3] == 10 and got[0, 1, 3] == 20 and got[1, 0, 3] == 255
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    from anserini_ray.stages.codecs import decode_png
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    png16 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(png16)
+    adam7 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(adam7)

@@ -140,3 +140,39 @@ def test_media_exact_dedup(ray_session):
     assert by_rep[0] == 3          # original + 2 planted copies
     assert sum(by_rep.values()) == 11
     assert len(by_rep) == 9        # 9 distinct payloads
+
+
+def test_image_resize_and_features_accept_png(ray_session):
+    """decoder="numpy" now covers PNG (round 5): resize re-encodes a valid
+    PNG at the target dims; feature extraction matches the equivalent PPM's
+    luminance histogram bit-for-bit (same pixels, different container)."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from anserini_ray.stages.codecs import decode_png, encode_png, encode_ppm
+    from anserini_ray.stages.multimodal import ImageResize, MediaFeatureExtract
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(19, 13, 3), dtype=np.uint8)
+    png, ppm = encode_png(img), encode_ppm(img)
+
+    batch = pa.Table.from_arrays(
+        [
+            pa.array(["a", "b"]),
+            pa.array([png, ppm], type=pa.large_binary()),
+            pa.array(["image/png", "image/x-portable-pixmap"]),
+            pa.array([json.dumps({"w": 13, "h": 19})] * 2),
+        ],
+        names=["item_id", "payload", "media_type", "meta"],
+    )
+    out = ImageResize(target_w=8, target_h=6, decoder="numpy")(batch)
+    resized = decode_png(out["payload"][0].as_py())
+    assert resized.shape == (6, 8, 3)
+    assert json.loads(out["meta"][0].as_py()) == {"w": 8, "h": 6}
+
+    feats = MediaFeatureExtract(decoder="numpy", feature_dim=32)(batch)
+    f_png = np.array(feats["features"][0].as_py())
+    f_ppm = np.array(feats["features"][1].as_py())
+    assert np.array_equal(f_png, f_ppm)
