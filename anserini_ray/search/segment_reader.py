@@ -27,6 +27,11 @@ from ..index.varint import varint_decode
 from ..state.manifest import IndexManifest
 from .norms import quantize_lengths
 
+# Segments at or above this doc count keep identity columns (conv_id,
+# turn_idx) lazy; smaller segments eager-load them at open (see the
+# adaptive-identity comment in SegmentReader.__init__).
+IDENTITY_LAZY_MIN_DOCS = 2_000_000
+
 
 class _SortedTermMap:
     """dict-like (.get / .items / in) view over a term-sorted Arrow column
@@ -132,6 +137,79 @@ class _TermRangeMap:
             yield (int(b[i]), int(b[i + 1]))
 
 
+class _LazyBlobColumns:
+    """Row-group-granular lazy access to the heavy posting payload columns
+    (doc_blob / tf_blob / pos_blob and the per-block offset lists).
+
+    Segment open used to `read_table` the WHOLE postings partition — on a
+    compacted 16M-doc segment that is ~4.2 GB of varint blobs decompressed
+    up front (11.5 s / 5.1 GB RSS, BASELINE.md round 4), paid even by
+    queries that touch a handful of terms. This object reads only parquet
+    FOOTERS at open; a blob cell is fetched by locating its row group
+    (searchsorted over cumulative row-group starts) and decompressing that
+    row group's single column on first touch, behind a byte-bounded LRU of
+    decompressed column chunks. Hot query terms cluster in few row groups
+    (compacted layouts write term-sorted), so steady-state decode cost is
+    unchanged while open drops to the skinny-column read."""
+
+    def __init__(self, files: list[str], cache_bytes: int = 256 << 20):
+        from collections import OrderedDict
+
+        self._files = files
+        self._pfs: list[pq.ParquetFile | None] = [None] * len(files)
+        starts = [0]
+        rg_file: list[int] = []
+        rg_idx: list[int] = []
+        for fi, path in enumerate(files):
+            md = pq.read_metadata(path)
+            for g in range(md.num_row_groups):
+                rg_file.append(fi)
+                rg_idx.append(g)
+                starts.append(starts[-1] + md.row_group(g).num_rows)
+        self.num_rows = starts[-1]
+        self._rg_start = np.asarray(starts, dtype=np.int64)
+        self._rg_file = np.asarray(rg_file, dtype=np.int64)
+        self._rg_idx = np.asarray(rg_idx, dtype=np.int64)
+        self._cache: OrderedDict[tuple, pa.Array] = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_limit = cache_bytes
+
+    def _pf(self, fi: int) -> pq.ParquetFile:
+        pf = self._pfs[fi]
+        if pf is None:
+            pf = pq.ParquetFile(self._files[fi], memory_map=True)
+            self._pfs[fi] = pf
+        return pf
+
+    def chunk(self, col: str, rg: int) -> pa.Array:
+        key = (col, rg)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        arr = (
+            self._pf(int(self._rg_file[rg]))
+            .read_row_group(int(self._rg_idx[rg]), columns=[col])
+            .column(0)
+            .combine_chunks()
+        )
+        nb = arr.nbytes
+        while self._cache and self._cache_bytes + nb > self._cache_limit:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= old.nbytes
+        self._cache[key] = arr
+        self._cache_bytes += nb
+        return arr
+
+    def cell(self, col: str, i: int):
+        rg = int(np.searchsorted(self._rg_start, i, side="right")) - 1
+        return self.chunk(col, rg)[i - int(self._rg_start[rg])]
+
+    def clear(self) -> None:
+        self._cache.clear()
+        self._cache_bytes = 0
+
+
 class SegmentReader:
     def __init__(self, index_dir: str, segment_id: int, manifest: IndexManifest):
         self.segment_id = segment_id
@@ -153,7 +231,30 @@ class SegmentReader:
             from ..index.optimize import recover_interrupted_optimize
 
             recover_interrupted_optimize(index_dir)
-        post = pq.read_table(post_path)
+        # LAZY OPEN (round 5): only the skinny dictionary columns + per-block
+        # impact metadata load eagerly; the varint payload (doc_blob/tf_blob/
+        # pos_blob, ~90% of the bytes) stays on disk and decompresses per
+        # row group on first touch (see _LazyBlobColumns).
+        files = sorted(
+            os.path.join(post_path, f)
+            for f in os.listdir(post_path)
+            if f.endswith(".parquet")
+        )
+        self._blobs = _LazyBlobColumns(files)
+        schema = pq.read_schema(files[0]) if files else pa.schema([])
+        self._has_pos_col = "pos_blob" in schema.names
+        # blk_* impact metadata is also deferred: it is touched only by
+        # block-max pruning (block_meta) and selective block decode, a few
+        # rows per query term — eager-loading ~6 int32 per 128 postings for
+        # the whole vocabulary is most of the non-blob open bytes
+        skinny_cols = ["term", "first_local", "df", "cf", "max_tf"]
+        post = (
+            pa.concat_tables(
+                [pq.read_table(f, columns=skinny_cols) for f in files]
+            )
+            if files
+            else pq.read_table(post_path)  # raises the natural error
+        )
         # Order rows by (term, first_local) so a term's runs are adjacent —
         # but ONLY as a permutation (_perm: sorted position -> raw row id).
         # The previous post.take(order) materialized a re-sorted copy of the
@@ -161,22 +262,14 @@ class SegmentReader:
         # single segment (139.8M run rows, 4.7 GB of blobs) that cost 10+
         # minutes and tens of GB at every reader load. Blobs and per-row
         # arrays stay in parquet read order; every access maps through _perm.
+        assert post.num_rows == self._blobs.num_rows  # same files, same order
         order = pc.sort_indices(
             post, sort_keys=[("term", "ascending"), ("first_local", "ascending")]
         )
         self._perm = order.to_numpy(zero_copy_only=False).astype(np.int64)
-        self._rows = post
         self._df = post["df"].to_numpy()
         self._cf = post["cf"].to_numpy()
         self._row_max_tf = post["max_tf"].to_numpy()
-        self._doc_blob = post["doc_blob"].combine_chunks()
-        self._tf_blob = post["tf_blob"].combine_chunks()
-        self._blk_first = post["blk_first"].combine_chunks()
-        self._blk_n = post["blk_n"].combine_chunks()
-        self._blk_max_tf = post["blk_max_tf"].combine_chunks()
-        self._blk_min_dl = post["blk_min_dl"].combine_chunks()
-        self._blk_doc_off = post["blk_doc_off"].combine_chunks()
-        self._blk_tf_off = post["blk_tf_off"].combine_chunks()
         # term -> contiguous SORTED-position range [lo, hi): run boundaries
         # computed vectorized over a transient sorted gather of the term
         # column only (dropped after this block), looked up by binary search
@@ -201,11 +294,51 @@ class SegmentReader:
             uniq_terms = pa.array([], type=pa.string())
         self._term_range = _TermRangeMap(uniq_terms, run_bounds)
 
-        dm = pq.read_table(
-            os.path.join(index_dir, "docmap", f"segment_id={segment_id}")
+        dm_dir = os.path.join(index_dir, "docmap", f"segment_id={segment_id}")
+        dm_files = sorted(
+            os.path.join(dm_dir, f)
+            for f in os.listdir(dm_dir)
+            if f.endswith(".parquet")
         )
-        dorder = pc.sort_indices(dm["doc_ord"])
-        dm = dm.take(dorder)
+        dm_schema = pq.read_schema(dm_files[0]) if dm_files else pa.schema([])
+        # Identity columns (conv_id strings + turn_idx) are needed only to
+        # FORMAT final top-k candidates — reading 16M strings eagerly was a
+        # large share of open time/RSS; they now load row-group-lazily
+        # through the same machinery as the posting blobs. Scoring columns
+        # (doc_ord, dl, ts) stay eager: every query touches all of them.
+        dm_cols = ["doc_ord", "dl"] + (
+            ["ts"] if "ts" in dm_schema.names else []
+        )
+        dm = (
+            pa.concat_tables(
+                [pq.read_table(f, columns=dm_cols) for f in dm_files]
+            )
+            if dm_files
+            else pq.read_table(dm_dir)
+        )
+        self._dm_lazy: _LazyBlobColumns | None = _LazyBlobColumns(dm_files)
+        self._conv_id = None
+        self._turn_idx = None
+        # docmap partitions are written in doc_ord order (unit files are
+        # ordinal-ordered and sort lexicographically by unit id), so the
+        # usual case needs NO sort — and dm.take() would copy every column
+        # (~2.5 s per 16M-doc segment open, measured)
+        dm_ords = dm["doc_ord"].to_numpy()
+        if dm.num_rows > 1 and not bool(
+            np.all(dm_ords[1:] > dm_ords[:-1])
+        ):
+            # legacy out-of-order partition: lazy row ids would not match
+            # sorted row ids — load identity columns eagerly instead
+            full = (
+                pa.concat_tables([pq.read_table(f) for f in dm_files])
+                if dm_files
+                else pq.read_table(dm_dir)
+            )
+            full = full.take(pc.sort_indices(full["doc_ord"]))
+            dm = full.select(dm_cols)
+            self._dm_lazy = None
+            self._conv_id = full["conv_id"].combine_chunks()
+            self._turn_idx = full["turn_idx"].to_numpy()
         self.doc_count = dm.num_rows
         # Raw local ordinals may have HOLES (streaming builds assign
         # doc_ord = input row position; dropped docs leave gaps). Postings
@@ -237,8 +370,6 @@ class SegmentReader:
             self._dense_lookup = lut
         else:
             self._dense_lookup = None
-        self._conv_id = dm["conv_id"].combine_chunks()
-        self._turn_idx = dm["turn_idx"].to_numpy()
         # optional per-doc timestamps (tweet time-filter analog)
         self.ts = (
             dm["ts"].cast(pa.int64()).to_numpy()
@@ -262,6 +393,14 @@ class SegmentReader:
         self.score_dl_accurate = _scatter(self.dl_accurate, np.float32)
         self.score_ts = _scatter(self.ts, np.int64) if self.ts is not None else None
 
+        # Adaptive identity laziness: below ~2M docs the eager columns cost
+        # tens of MB and keep doc_id_strings on the 1-take fast path (lazy
+        # per-row-group assembly measured +1.5 ms/segment/query at k=1000);
+        # above, laziness is worth it — a 16M-doc segment's conv_id strings
+        # alone are ~400 MB and format only ever touches top-k rows.
+        if self._conv_id is None and self.doc_count < IDENTITY_LAZY_MIN_DOCS:
+            self._identity_columns()
+
         ts = pq.read_table(
             os.path.join(index_dir, "termstats", f"segment_id={segment_id}"),
             columns=["term", "gdf", "gcf"],
@@ -276,10 +415,12 @@ class SegmentReader:
 
     # ------------------------------------------------------------------ api
     def clear_caches(self) -> None:
-        """Drop the decoded-postings memo (for fair A/B benchmarking of
-        query strategies that would otherwise share decode work)."""
+        """Drop the decoded-postings memo and the lazy blob-chunk LRU (for
+        fair A/B benchmarking of query strategies that would otherwise
+        share decode work)."""
         self._decode_cache.clear()
         self._decode_cache_postings = 0
+        self._blobs.clear()
 
     def has_term(self, term: str) -> bool:
         return term in self._term_range
@@ -343,9 +484,11 @@ class SegmentReader:
     def _decode_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         # i is a RAW row id (already mapped through _perm by callers)
         df = int(self._df[i])
-        gaps = varint_decode(self._doc_blob[i].as_py(), df)
+        gaps = varint_decode(self._blobs.cell("doc_blob", i).as_py(), df)
         ords = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-        tfs = varint_decode(self._tf_blob[i].as_py(), df).astype(np.int32)
+        tfs = varint_decode(
+            self._blobs.cell("tf_blob", i).as_py(), df
+        ).astype(np.int32)
         return ords, tfs
 
     def block_meta(self, term: str):
@@ -359,11 +502,11 @@ class SegmentReader:
         firsts, ns, mts, mds, rows_, lblk = [], [], [], [], [], []
         for i in self._perm[lo:hi]:  # raw row ids, in (term, first_local) order
             i = int(i)
-            bf = self._blk_first[i].values.to_numpy()
+            bf = self._blobs.cell("blk_first", i).values.to_numpy()
             firsts.append(bf)
-            ns.append(self._blk_n[i].values.to_numpy())
-            mts.append(self._blk_max_tf[i].values.to_numpy())
-            mds.append(self._blk_min_dl[i].values.to_numpy())
+            ns.append(self._blobs.cell("blk_n", i).values.to_numpy())
+            mts.append(self._blobs.cell("blk_max_tf", i).values.to_numpy())
+            mds.append(self._blobs.cell("blk_min_dl", i).values.to_numpy())
             rows_.append(np.full(bf.size, i, dtype=np.int64))
             lblk.append(np.arange(bf.size, dtype=np.int64))
         return (
@@ -386,10 +529,10 @@ class SegmentReader:
         for b in chosen:
             i = int(brow[b])
             k = int(blblk[b])
-            doc_blob = self._doc_blob[i].as_py()
-            tf_blob = self._tf_blob[i].as_py()
-            bdo = self._blk_doc_off[i].values.to_numpy()
-            bto = self._blk_tf_off[i].values.to_numpy()
+            doc_blob = self._blobs.cell("doc_blob", i).as_py()
+            tf_blob = self._blobs.cell("tf_blob", i).as_py()
+            bdo = self._blobs.cell("blk_doc_off", i).values.to_numpy()
+            bto = self._blobs.cell("blk_tf_off", i).values.to_numpy()
             d_lo = int(bdo[k])
             d_hi = int(bdo[k + 1]) if k + 1 < bdo.size else len(doc_blob)
             t_lo = int(bto[k])
@@ -412,17 +555,16 @@ class SegmentReader:
         if r is None:
             return None
         lo, hi = r
-        if "pos_blob" not in self._rows.column_names:
+        if not self._has_pos_col:
             raise ValueError(
                 "index has no positions — rebuild with "
                 "IndexConfig(store_positions=True)"
             )
-        pos_col = self._rows["pos_blob"].combine_chunks()
         all_ords, all_tfs, all_pos = [], [], []
         for i in self._perm[lo:hi]:
             i = int(i)
             ords, tfs = self._decode_row(i)
-            blob = pos_col[i].as_py()
+            blob = self._blobs.cell("pos_blob", i).as_py()
             if not blob:
                 raise ValueError(
                     "index has no positions — rebuild with "
@@ -444,20 +586,50 @@ class SegmentReader:
         return ords, tfs, flat, offs
 
     def doc_id_strings(self, local_ords: np.ndarray) -> list[str]:
-        """RAW local ordinals -> docid strings."""
+        """RAW local ordinals -> docid strings. Identity columns load
+        row-group-lazily (top-k candidates cluster in few row groups); the
+        eager fallback covers legacy out-of-order docmaps."""
         rows = self.dense_of_raw(np.asarray(local_ords, dtype=np.int64))
-        convs = self._conv_id.take(pa.array(rows)).to_pylist()
-        turns = self._turn_idx[rows]
+        if self._conv_id is not None:
+            convs = self._conv_id.take(pa.array(rows)).to_pylist()
+            turns = self._turn_idx[rows]
+            return [f"{c}:{t}" for c, t in zip(convs, turns)]
+        # batched per row group, NOT per row: a per-row cell() here costs
+        # ~2k Python lookups per query at k=1000 (measured p50 40 -> 90 ms)
+        lz = self._dm_lazy
+        rgs = np.searchsorted(lz._rg_start, rows, side="right") - 1
+        convs = np.empty(len(rows), dtype=object)
+        turns = np.empty(len(rows), dtype=np.int64)
+        for rg in np.unique(rgs):
+            m = rgs == rg
+            local = pa.array(rows[m] - int(lz._rg_start[rg]))
+            convs[m] = lz.chunk("conv_id", int(rg)).take(local).to_pylist()
+            turns[m] = lz.chunk("turn_idx", int(rg)).take(local).to_numpy()
         return [f"{c}:{t}" for c, t in zip(convs, turns)]
+
+    def _identity_columns(self) -> tuple[pa.ChunkedArray, np.ndarray]:
+        """Full (conv_id, turn_idx) columns — whole-docmap consumers only
+        (reverse map build); eager-cached after first use."""
+        if self._conv_id is None:
+            # same explicit sorted-file order as the lazy row-id space
+            full = pa.concat_tables(
+                [
+                    pq.read_table(f, columns=["conv_id", "turn_idx"])
+                    for f in self._dm_lazy._files
+                ]
+            )
+            self._conv_id = full["conv_id"].combine_chunks()
+            self._turn_idx = full["turn_idx"].to_numpy()
+        return self._conv_id, self._turn_idx
 
     # ---------------------------------------------------- forward index
     def docid_to_local(self, docid: str) -> int | None:
         """docid string -> RAW local ordinal (lazy reverse map)."""
         if self._docid_to_local is None:
-            convs = self._conv_id.to_pylist()
+            convs, turns = self._identity_columns()
             self._docid_to_local = {
                 f"{c}:{t}": int(self._raw_local[i])
-                for i, (c, t) in enumerate(zip(convs, self._turn_idx))
+                for i, (c, t) in enumerate(zip(convs.to_pylist(), turns))
             }
         return self._docid_to_local.get(docid)
 

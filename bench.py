@@ -405,7 +405,55 @@ def run_query_scale(n_actors: int) -> dict:
     return out
 
 
+def run_all_queries(num_cpus: int, sf_dir: str) -> dict:
+    """Per-registry-entry wall time: every queries() entry consumed once
+    (Datasets materialized, tables/frames returned as-is) at `sf_dir`.
+    Purpose: a recorded cost for the ~50 non-headline entries, so a perf
+    regression in any of them shows up in BENCH/BASELINE history instead of
+    being invisible until a user hits it (VERDICT r4 #7)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    per: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    t_all = time.perf_counter()
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            res = qs[name](sf_dir)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            per[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep timing the rest
+            failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+    out = {
+        "metric": "per-registry-entry wall time",
+        "value": round(time.perf_counter() - t_all, 3),
+        "unit": "sec",
+        "queries": per,
+        "failed": failed,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_entries": len(qs),
+    }
+    ray.shutdown()
+    return out
+
+
 def main():
+    if "--all-queries" in sys.argv:
+        sf = os.environ.get("GRAFT_ALLQ_SF_DIR", "/root/testdata/sf0.01")
+        print(json.dumps(run_all_queries(NUM_CPUS, sf)))
+        return
     if "--zipf" in sys.argv:
         print(json.dumps(run_zipf_bench(NUM_CPUS)))
         return

@@ -107,7 +107,7 @@ def test_optimize_mixed_positional_runs_drop_positions(ray_session):
     import pyarrow as pa
 
     from anserini_ray.index.build import _encode_term_run
-    from anserini_ray.index.optimize import _compact_group
+    from anserini_ray.index.optimize import _concat_group as _compact_group
     from anserini_ray.index.varint import varint_encode
 
     def run_row(first, n, with_pos):

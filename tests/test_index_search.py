@@ -246,3 +246,43 @@ def test_resume_with_optional_artifacts(ray_session, tmp_path_factory):
     assert before[0] == after[0]
     assert np.array_equal(np.asarray(before[1]), np.asarray(after[1]))
     assert phrase_before[0] == s1.phrase_search("merge sort", k=10, adjust_ties=False)[0]
+
+
+def test_lazy_identity_path_matches_eager(ray_session, tmp_path_factory, monkeypatch):
+    """Round-5 lazy segment open: with the identity-laziness threshold
+    forced to 0, every read goes through the row-group-lazy path — results,
+    docid strings, forward lookups and document_by_field must be identical
+    to the eager reader on the same index."""
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    import anserini_ray.search.segment_reader as SR
+    from anserini_ray.index import IndexConfig, build_index
+    from anserini_ray.search.searcher import LocalSearcher
+    from anserini_ray.sources import generate_transcripts
+
+    tmp = tmp_path_factory.mktemp("lazyid")
+    p = str(tmp / "c.parquet")
+    pq_.write_table(generate_transcripts(800, seed=77), p)
+    idx = str(tmp / "idx")
+    build_index(
+        ray.data.read_parquet(p), idx,
+        IndexConfig(seg_shift=8, store_docvecs=True), input_files=[p],
+    )
+    eager = LocalSearcher(idx)
+    queries = ["merge sort pipeline", "stream batch", "zq0007"]
+    want = {q: eager.search(q, k=25) for q in queries}
+    probe_docid = want[queries[0]][0][0]
+    want_doc = eager.document_by_field("turn_idx", 3)
+
+    monkeypatch.setattr(SR, "IDENTITY_LAZY_MIN_DOCS", 0)
+    lazy = LocalSearcher(idx)
+    for r in lazy.readers:
+        assert r._conv_id is None  # precondition: identity stayed lazy
+    for q in queries:
+        d, sc = lazy.search(q, k=25)
+        assert d == want[q][0]
+        assert np.allclose(np.asarray(sc), np.asarray(want[q][1]))
+    assert lazy.document_by_field("turn_idx", 3) == want_doc
+    assert lazy.doc_vector(probe_docid) == eager.doc_vector(probe_docid)

@@ -126,3 +126,95 @@ def test_termstats_swap_crash_recovery(ray_session, tmp_path_factory):
     os.replace(part, part + ".optimizing")
     recover_interrupted_optimize(idx)
     assert _termstats_rows(idx, segs[1]).equals(golden[segs[1]])
+
+
+def test_concat_group_decodes_identical_to_reencode(ray_session):
+    """The byte-concat compaction (round 5) must yield the same logical
+    posting list as the decode+re-encode reference for arbitrary run
+    fragmentations: same ords/tfs under full decode AND under per-block
+    decode, valid block metadata offsets, positions concatenated."""
+    import pyarrow as pa
+
+    from anserini_ray.index.build import _encode_term_run
+    from anserini_ray.index.optimize import _concat_group, _reencode_group
+    from anserini_ray.index.varint import varint_decode, varint_encode
+
+    rng = np.random.default_rng(31)
+
+    def run_row(ords, tfs, with_pos=True):
+        ords = np.asarray(ords, dtype=np.uint64)
+        tfs = np.asarray(tfs, dtype=np.uint64)
+        dls = rng.integers(1, 50, size=ords.size).astype(np.int32)
+        (db, tb, bf, bn, bmt, bmd, bdo, bto) = _encode_term_run(
+            ords, tfs, dls, 128
+        )
+        pos = (
+            varint_encode(rng.integers(0, 30, size=int(tfs.sum())).astype(np.uint64))
+            if with_pos
+            else b""
+        )
+        return {
+            "segment_id": 0, "term": "t", "first_local": int(ords[0]),
+            "df": int(ords.size), "cf": int(tfs.sum()),
+            "max_tf": int(tfs.max()), "doc_blob": db, "tf_blob": tb,
+            "blk_first": bf.tolist(), "blk_n": bn.tolist(),
+            "blk_max_tf": bmt.tolist(), "blk_min_dl": bmd.tolist(),
+            "blk_doc_off": bdo.tolist(), "blk_tf_off": bto.tolist(),
+            "pos_blob": pos,
+        }
+
+    def decode_full(row):
+        df = row["df"][0].as_py()
+        gaps = varint_decode(row["doc_blob"][0].as_py(), df)
+        ords = np.cumsum(gaps, dtype=np.uint64)
+        tfs = varint_decode(row["tf_blob"][0].as_py(), df)
+        return ords, tfs
+
+    def decode_blocks(row):
+        """Block-granular decode exactly as SegmentReader.decode_blocks."""
+        bf = np.array(row["blk_first"][0].as_py())
+        bn = np.array(row["blk_n"][0].as_py())
+        bdo = np.array(row["blk_doc_off"][0].as_py())
+        bto = np.array(row["blk_tf_off"][0].as_py())
+        doc_blob = row["doc_blob"][0].as_py()
+        tf_blob = row["tf_blob"][0].as_py()
+        o_parts, t_parts = [], []
+        for k in range(bf.size):
+            d_hi = int(bdo[k + 1]) if k + 1 < bdo.size else len(doc_blob)
+            t_hi = int(bto[k + 1]) if k + 1 < bto.size else len(tf_blob)
+            gaps = varint_decode(doc_blob[int(bdo[k]):d_hi], int(bn[k]))
+            vals = np.cumsum(gaps, dtype=np.uint64) - gaps[0] + np.uint64(bf[k])
+            o_parts.append(vals)
+            t_parts.append(varint_decode(tf_blob[int(bto[k]):t_hi], int(bn[k])))
+        return np.concatenate(o_parts), np.concatenate(t_parts)
+
+    for trial in range(20):
+        n_runs = int(rng.integers(2, 7))
+        total = int(rng.integers(5, 700))
+        all_ords = np.sort(
+            rng.choice(np.arange(0, 5000), size=total, replace=False)
+        ).astype(np.uint64)
+        all_tfs = rng.integers(1, 9, size=total).astype(np.uint64)
+        cuts = np.sort(rng.choice(np.arange(1, total), size=n_runs - 1,
+                                  replace=False)) if total > n_runs else []
+        bounds = [0, *[int(c) for c in cuts], total]
+        rows = [
+            run_row(all_ords[lo:hi], all_tfs[lo:hi])
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if hi > lo
+        ]
+        group = pa.Table.from_pylist(rows)
+        got = _concat_group(group)
+        ref = _reencode_group(group)
+        for label, row in (("concat", got), ("reencode", ref)):
+            o, t = decode_full(row)
+            assert np.array_equal(o, all_ords), (trial, label)
+            assert np.array_equal(t, all_tfs), (trial, label)
+        ob, tb_ = decode_blocks(got)
+        assert np.array_equal(ob, all_ords), trial
+        assert np.array_equal(tb_, all_tfs), trial
+        for col in ("df", "cf", "max_tf", "first_local"):
+            assert got[col][0].as_py() == ref[col][0].as_py(), (trial, col)
+        assert len(got["pos_blob"][0].as_py()) == sum(
+            len(r["pos_blob"]) for r in rows
+        )
