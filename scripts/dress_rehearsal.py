@@ -1,0 +1,286 @@
+#!/usr/bin/env python
+"""Composed-pipeline dress rehearsal (VERDICT r4 #8): the actual 100-TB
+usage shape, end to end, with a mid-run SIGKILL + resume.
+
+Pipeline over the synthetic transcript corpus:
+
+  discovery (global, deterministic):
+      MinHash+LSH near-dup groups -> drop set (keep lexicographic min per
+      verified pair component; star-capped exactly like the production op)
+  per-shard resumable transform (anserini_ray.sinks.resumable_transform_write):
+      quality_filter -> PII redaction -> near-dup drop (broadcast set)
+      -> fixed-token chunking -> greedy sequence packing (per shard)
+      -> one atomic parquet partition per input shard
+
+Modes:
+  --run OUT_DIR          worker mode: execute the full pipeline into OUT_DIR
+  (default)              orchestrate: run A uninterrupted; run B killed with
+                         SIGKILL mid-flight then resumed; verify B's resumed
+                         output is hash-identical to A's and that the resume
+                         actually skipped finished partitions.
+
+Usage:
+  python scripts/dress_rehearsal.py [--files N] [--corpus DIR] [--cpus N]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = "/tmp/anserini_ray_corpus_32000000"
+SEQ_TOKENS = 256
+
+
+def corpus_files(corpus: str, n_files: int) -> list[str]:
+    fs = sorted(
+        os.path.join(corpus, f)
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    return fs[:n_files] if n_files else fs
+
+
+def discover_drop_set(files: list[str]) -> set[str]:
+    """Global near-dup discovery: verified MinHash pairs -> drop every
+    doc except the lexicographic min of each pair (deterministic)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+    from anserini_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+
+    def with_docid(batch):
+        import pyarrow as pa
+
+        did = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), ":"
+        )
+        return pa.table({"doc_id": did, "text": batch["text"]})
+
+    pairs = minhash_lsh_dedup(
+        ds.map_batches(with_docid, batch_format="pyarrow"),
+        threshold=0.8,
+        verify=True,
+    )
+    drop: set[str] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for a_, b_ in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            drop.add(max(a_, b_))
+    return drop
+
+
+def make_transform(drop_ids: frozenset):
+    """transform_factory for resumable_transform_write: builds the stateful
+    pieces once per shard task, then runs the fused per-batch chain."""
+
+    def factory():
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from anserini_ray.stages.text_stats import (
+            PiiRedact,
+            chunk_batch,
+            quality_filter_batch,
+            rolling_fingerprints_batch,
+        )
+
+        redact = PiiRedact()
+        drop_arr = pa.array(sorted(drop_ids), type=pa.string())
+
+        def fn(t: pa.Table) -> pa.Table:
+            docid = pc.binary_join_element_wise(
+                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), ":"
+            )
+            t = pa.table({"doc_id": docid, "text": t["text"]})
+            # 1. quality filter (keep mask from the Gopher-style rules)
+            verdict = quality_filter_batch(t)
+            t = t.filter(verdict["keep"].combine_chunks())
+            # 2. near-dup drop (broadcast set)
+            if len(drop_arr):
+                t = t.filter(
+                    pc.invert(pc.is_in(t["doc_id"], value_set=drop_arr))
+                )
+            # 3. PII redaction (actor-style stage, compiled once above)
+            red = redact(t)
+            t = pa.table(
+                {"doc_id": t["doc_id"], "text": red["text_redacted"]}
+            )
+            # 4. fixed-token chunking (needs int64 ids: FNV of the docid)
+            ids64 = rolling_fingerprints_batch(t["doc_id"].to_pylist())
+            chunks = chunk_batch(
+                pa.table({"doc_id": pa.array(ids64), "text": t["text"]})
+            )
+            # 5. greedy sequence packing within the shard: cumulative token
+            # budget, vectorized via cumsum // budget
+            n = chunks["n_chunk_tokens"].to_numpy()
+            if n.size == 0:
+                return pa.table(
+                    {
+                        "seq_id": pa.array([], type=pa.int64()),
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "chunk_idx": pa.array([], type=pa.int64()),
+                        "chunk_text": pa.array([], type=pa.string()),
+                        "n_chunk_tokens": pa.array([], type=pa.int64()),
+                    }
+                )
+            csum = np.cumsum(n)
+            seq = (csum - n) // SEQ_TOKENS
+            return pa.table(
+                {
+                    "seq_id": pa.array(seq.astype(np.int64)),
+                    "doc_id": chunks["doc_id"],
+                    "chunk_idx": chunks["chunk_idx"],
+                    "chunk_text": chunks["chunk_text"],
+                    "n_chunk_tokens": chunks["n_chunk_tokens"],
+                }
+            )
+
+        return fn
+
+    return factory
+
+
+def run_pipeline(files: list[str], out_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False
+        )
+    from anserini_ray.sinks import resumable_transform_write
+
+    t0 = time.perf_counter()
+    drop = discover_drop_set(files)
+    t_disc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stats = resumable_transform_write(
+        files,
+        make_transform(frozenset(drop)),
+        out_dir,
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    stats["discover_sec"] = round(t_disc, 2)
+    stats["transform_sec"] = round(time.perf_counter() - t0, 2)
+    stats["n_dropped_neardup"] = len(drop)
+    return stats
+
+
+def output_digest(out_dir: str) -> tuple[str, int]:
+    """Order-independent content hash over every output row."""
+    import pyarrow.parquet as pq
+
+    hashes = []
+    rows = 0
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out_dir, f))
+        rows += t.num_rows
+        cols = [t[c].to_pylist() for c in sorted(t.column_names)]
+        for vals in zip(*cols):
+            hashes.append(hash(vals))
+    agg = hashlib.sha256()
+    for h in sorted(hashes):
+        agg.update(h.to_bytes(8, "little", signed=True))
+    return agg.hexdigest(), rows
+
+
+def main():
+    n_files = 32
+    corpus = CORPUS
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    argv = sys.argv[1:]
+    if "--files" in argv:
+        n_files = int(argv[argv.index("--files") + 1])
+    if "--corpus" in argv:
+        corpus = argv[argv.index("--corpus") + 1]
+    if "--cpus" in argv:
+        cpus = int(argv[argv.index("--cpus") + 1])
+    files = corpus_files(corpus, n_files)
+
+    if "--run" in argv:
+        out_dir = argv[argv.index("--run") + 1]
+        os.makedirs(out_dir, exist_ok=True)
+        stats = run_pipeline(files, out_dir, cpus)
+        print(json.dumps({"worker": stats}))
+        return
+
+    base = f"/tmp/dress_rehearsal_{n_files}f"
+    out_a, out_b = base + "_a", base + "_b"
+    for d in (out_a, out_b):
+        subprocess.run(["rm", "-rf", d], check=True)
+
+    def launch(out_dir):
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--run", out_dir,
+             "--files", str(n_files), "--corpus", corpus, "--cpus", str(cpus)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    # Run A: uninterrupted reference
+    t0 = time.perf_counter()
+    pa_ = launch(out_a)
+    out, _ = pa_.communicate()
+    assert pa_.returncode == 0, "run A failed"
+    a_stats = json.loads(out.strip().splitlines()[-1])["worker"]
+    a_sec = time.perf_counter() - t0
+
+    # Run B: SIGKILL once some partitions exist, then resume
+    pb = launch(out_b)
+    killed_with = 0
+    while True:
+        time.sleep(2)
+        done = len([f for f in os.listdir(out_b) if f.endswith(".parquet")]) \
+            if os.path.isdir(out_b) else 0
+        if done >= max(2, n_files // 4):
+            os.kill(pb.pid, signal.SIGKILL)
+            killed_with = done
+            break
+        if pb.poll() is not None:  # finished before we could kill: too fast
+            break
+    pb.wait()
+    resumed = launch(out_b)
+    out, _ = resumed.communicate()
+    assert resumed.returncode == 0, "resume failed"
+    b_stats = json.loads(out.strip().splitlines()[-1])["worker"]
+
+    dig_a, rows_a = output_digest(out_a)
+    dig_b, rows_b = output_digest(out_b)
+    print(json.dumps({
+        "metric": "composed pipeline dress rehearsal (qf->pii->dedup->chunk->pack)",
+        "identical_after_resume": dig_a == dig_b,
+        "rows": rows_a,
+        "rows_resumed": rows_b,
+        "digest": dig_a[:16],
+        "n_shards": a_stats["n_shards"],
+        "killed_with_partitions_done": killed_with,
+        "resumed_skipped": b_stats["n_skipped"],
+        "n_dropped_neardup": a_stats["n_dropped_neardup"],
+        "run_a_sec": round(a_sec, 1),
+        "discover_sec": a_stats["discover_sec"],
+        "transform_sec": a_stats["transform_sec"],
+        "input_turns": _input_rows(files),
+        "turns_per_sec_transform": round(
+            _input_rows(files) / max(a_stats["transform_sec"], 1e-9), 1
+        ),
+    }))
+
+
+def _input_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+if __name__ == "__main__":
+    main()
