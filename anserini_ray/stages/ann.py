@@ -259,11 +259,16 @@ def embedding_cosine_near_dup(
     pairs = distinct_pairs_from_groups(g, "ids", max_group_size)
 
     def vec_payload(batch: pa.Table) -> pa.Table:
+        # binary blob, not list<float64>: Acero joins (the above-cap attach
+        # path) reject list-typed non-key fields — see dedup.shingle_payload
         m = _normalize(_batch_matrix(batch, vec_col))
         return pa.Table.from_arrays(
             [
                 batch[id_col],
-                pa.array(m.tolist(), type=pa.list_(pa.float64())),
+                pa.array(
+                    [row.tobytes() for row in np.ascontiguousarray(m, dtype=np.float64)],
+                    type=pa.large_binary(),
+                ),
             ],
             names=["pid", "payload"],
         )
@@ -277,9 +282,12 @@ def embedding_cosine_near_dup(
         vb = batch["payload_b"].combine_chunks()
         n = batch.num_rows
         if n:
-            dim = len(va[0])
-            ma = va.values.to_numpy(zero_copy_only=False).reshape(n, dim)
-            mb = vb.values.to_numpy(zero_copy_only=False).reshape(n, dim)
+            ma = np.stack(
+                [np.frombuffer(va[i].as_py(), dtype=np.float64) for i in range(n)]
+            )
+            mb = np.stack(
+                [np.frombuffer(vb[i].as_py(), dtype=np.float64) for i in range(n)]
+            )
             cos = np.einsum("ij,ij->i", ma, mb)
         else:
             cos = np.empty(0, dtype=np.float64)

@@ -318,13 +318,21 @@ def minhash_lsh_dedup(
     pairs = distinct_pairs_from_groups(groups, "doc_ids", max_group_size)
 
     def shingle_payload(batch: pa.Table) -> pa.Table:
+        # payload is a BINARY blob (sorted int64 shingle hashes as raw
+        # bytes), NOT list<int64>: the above-cap distributed attach path is
+        # an Acero hash join, and Acero rejects list-typed non-key fields
+        # ("Data type list<int64> is not supported in join non-key field"
+        # — found live by the round-5 dress rehearsal, whose template-heavy
+        # transcript corpus blows past the 2M-pair broadcast cap)
         ids = batch[id_col]
         payloads = [
-            np.sort(_hash_tokens_64(sorted(word_shingles(t or "", shingle_n))))
+            np.sort(
+                _hash_tokens_64(sorted(word_shingles(t or "", shingle_n)))
+            ).tobytes()
             for t in batch[text_col].to_pylist()
         ]
         return pa.Table.from_arrays(
-            [ids, pa.array([p.tolist() for p in payloads], type=pa.list_(pa.int64()))],
+            [ids, pa.array(payloads, type=pa.large_binary())],
             names=["pid", "payload"],
         )
 
@@ -336,8 +344,8 @@ def minhash_lsh_dedup(
         pb_col = batch["payload_b"].combine_chunks()
         out_j = np.empty(batch.num_rows, dtype=np.float64)
         for i in range(batch.num_rows):
-            sa = pa_col[i].values.to_numpy()
-            sb = pb_col[i].values.to_numpy()
+            sa = np.frombuffer(pa_col[i].as_py() or b"", dtype=np.int64)
+            sb = np.frombuffer(pb_col[i].as_py() or b"", dtype=np.int64)
             if sa.size == 0 and sb.size == 0:
                 out_j[i] = 1.0
                 continue

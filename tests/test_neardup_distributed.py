@@ -148,3 +148,56 @@ def test_distinct_pairs_star_cap(ray_session):
     assert (11, 12) not in got
     # dedup across groups: (2,3) exactly once
     assert len([p for p in got if p == (2, 3)]) == 1
+
+
+def test_verify_paths_agree_above_broadcast_cap(ray_session, monkeypatch):
+    """Round-5 regression: with candidate pairs above PAIR_BROADCAST_LIMIT
+    the attach falls to the Acero hash join, which rejects list-typed
+    payload columns — payloads are binary blobs now. Both attach paths must
+    produce identical verified pairs for minhash AND embedding near-dup."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    import anserini_ray.stages.ann as A
+    import anserini_ray.stages.dedup as D
+
+    texts = [
+        f"the quick brown fox jumps over dog number {i % 15} in the field"
+        for i in range(150)
+    ]
+    ids = [f"d{i:04d}" for i in range(150)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    )
+
+    def pairs_set(res):
+        out = set()
+        for b in res.iter_batches(batch_format="pyarrow"):
+            out |= set(zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()))
+        return out
+
+    broadcast = pairs_set(D.minhash_lsh_dedup(ds, threshold=0.8, verify=True))
+    monkeypatch.setattr(D, "PAIR_BROADCAST_LIMIT", 0)
+    joined = pairs_set(D.minhash_lsh_dedup(ds, threshold=0.8, verify=True))
+    assert broadcast and joined == broadcast
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(15, 8))
+    vecs = np.repeat(base, 10, axis=0) + rng.normal(scale=5e-4, size=(150, 8))
+    eds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(150), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64())),
+    }))
+
+    def vpairs(res):
+        out = set()
+        for b in res.iter_batches(batch_format="pyarrow"):
+            out |= set(zip(b["vec_a"].to_pylist(), b["vec_b"].to_pylist()))
+        return out
+
+    j2 = vpairs(A.embedding_cosine_near_dup(eds, threshold=0.999))
+    monkeypatch.undo()
+    b2 = vpairs(A.embedding_cosine_near_dup(eds, threshold=0.999))
+    assert b2 and j2 == b2
