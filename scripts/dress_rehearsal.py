@@ -2,15 +2,21 @@
 """Composed-pipeline dress rehearsal (VERDICT r4 #8): the actual 100-TB
 usage shape, end to end, with a mid-run SIGKILL + resume.
 
-Pipeline over the synthetic transcript corpus:
+Pipeline over the synthetic transcript corpus, at CONVERSATION granularity
+(turns concatenated per conv — bare turns are a few tokens and the Gopher
+quality rules correctly drop ~99% of them, which would make the rest of the
+chain trivial):
 
   discovery (global, deterministic):
-      MinHash+LSH near-dup groups -> drop set (keep lexicographic min per
-      verified pair component; star-capped exactly like the production op)
+      conv-level MinHash+LSH near-dup pairs (verified) -> drop set
+      (keep lexicographic min per pair)
   per-shard resumable transform (anserini_ray.sinks.resumable_transform_write):
-      quality_filter -> PII redaction -> near-dup drop (broadcast set)
-      -> fixed-token chunking -> greedy sequence packing (per shard)
-      -> one atomic parquet partition per input shard
+      turns -> conversations -> quality_filter -> near-dup drop (broadcast
+      set) -> PII redaction -> fixed-token chunking -> greedy sequence
+      packing -> one atomic parquet partition per input shard
+      (conv ids are file-prefixed in this corpus, so conversations never
+      span shards; batch_rows is set above the shard size so per-conv
+      concatenation is safe)
 
 Modes:
   --run OUT_DIR          worker mode: execute the full pipeline into OUT_DIR
@@ -48,29 +54,69 @@ def corpus_files(corpus: str, n_files: int) -> list[str]:
     return fs[:n_files] if n_files else fs
 
 
-def discover_drop_set(files: list[str]) -> set[str]:
-    """Global near-dup discovery: verified MinHash pairs -> drop every
-    doc except the lexicographic min of each pair (deterministic)."""
+def conversations_table(t):
+    """(conv_id, turn_idx, text) turn rows -> (doc_id, text) one row per
+    conversation, turns joined in turn order. Input must hold every turn of
+    each conv (whole shard / whole file)."""
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    t = t.take(order)
+    conv = t["conv_id"].combine_chunks()
+    texts = t["text"].to_pylist()
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "text": pa.array([], type=pa.string())}
+        )
+    neq = pc.invert(pc.equal(conv.slice(0, n - 1), conv.slice(1)))
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1, [n]]
+    )
+    ids = conv.take(pa.array(bounds[:-1])).to_pylist()
+    joined = [
+        " ".join(x or "" for x in texts[lo:hi])
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.string()),
+         "text": pa.array(joined, type=pa.string())}
+    )
+
+
+def discover_drop_set(files: list[str]) -> set[str]:
+    """Global conv-level near-dup discovery: verified MinHash pairs -> drop
+    every conv except the lexicographic min of each pair (deterministic).
+    One Ray task per file reads + concatenates its conversations (convs are
+    file-local by corpus construction), then the standard distributed
+    MinHash-LSH machinery runs over the conv docs."""
+    import pyarrow.parquet as pq
 
     import ray.data
     from anserini_ray.stages.dedup import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
-
-    def with_docid(batch):
+    def file_to_convs(batch):
+        out = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+            out.append(conversations_table(t))
         import pyarrow as pa
 
-        did = pc.binary_join_element_wise(
-            batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), ":"
-        )
-        return pa.table({"doc_id": did, "text": batch["text"]})
+        return pa.concat_tables(out)
 
-    pairs = minhash_lsh_dedup(
-        ds.map_batches(with_docid, batch_format="pyarrow"),
-        threshold=0.8,
-        verify=True,
+    import pyarrow as pa
+
+    conv_ds = ray.data.from_arrow(
+        pa.table({"path": pa.array(files)})
+    ).repartition(len(files)).map_batches(
+        file_to_convs, batch_format="pyarrow"
     )
+    pairs = minhash_lsh_dedup(conv_ds, threshold=0.8, verify=True)
     drop: set[str] = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         for a_, b_ in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
@@ -98,19 +144,24 @@ def make_transform(drop_ids: frozenset):
         drop_arr = pa.array(sorted(drop_ids), type=pa.string())
 
         def fn(t: pa.Table) -> pa.Table:
-            docid = pc.binary_join_element_wise(
-                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), ":"
-            )
-            t = pa.table({"doc_id": docid, "text": t["text"]})
-            # 1. quality filter (keep mask from the Gopher-style rules)
+            t = conversations_table(t)
+            # 1. quality filter (Gopher-style rules, first-failing reason).
+            # The synthetic corpus draws from a ~31-word vocabulary, so the
+            # stopword and dup-token rules correctly reject ~100% of it —
+            # waive those two REASONS here (the stage still runs and the
+            # length rules still drop) so the rest of the chain sees data.
             verdict = quality_filter_batch(t)
-            t = t.filter(verdict["keep"].combine_chunks())
+            keep = pc.is_in(
+                verdict["reason"],
+                value_set=pa.array(["", "dup_tokens", "too_few_stopwords"]),
+            )
+            t = t.filter(keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep)
             # 2. near-dup drop (broadcast set)
             if len(drop_arr):
                 t = t.filter(
                     pc.invert(pc.is_in(t["doc_id"], value_set=drop_arr))
                 )
-            # 3. PII redaction (actor-style stage, compiled once above)
+            # 3. PII redaction (patterns compiled once per shard task)
             red = redact(t)
             t = pa.table(
                 {"doc_id": t["doc_id"], "text": red["text_redacted"]}
@@ -168,6 +219,7 @@ def run_pipeline(files: list[str], out_dir: str, num_cpus: int) -> dict:
         make_transform(frozenset(drop)),
         out_dir,
         columns=["conv_id", "turn_idx", "text"],
+        batch_rows=1_000_000,  # whole shard per batch: conv concat is safe
     )
     stats["discover_sec"] = round(t_disc, 2)
     stats["transform_sec"] = round(time.perf_counter() - t0, 2)
@@ -188,11 +240,18 @@ def output_digest(out_dir: str) -> tuple[str, int]:
         rows += t.num_rows
         cols = [t[c].to_pylist() for c in sorted(t.column_names)]
         for vals in zip(*cols):
-            hashes.append(hash(vals))
+            h = hashlib.md5(repr(vals).encode()).digest()[:8]
+            hashes.append(int.from_bytes(h, "little"))
     agg = hashlib.sha256()
     for h in sorted(hashes):
-        agg.update(h.to_bytes(8, "little", signed=True))
+        agg.update(h.to_bytes(8, "little"))
     return agg.hexdigest(), rows
+
+
+def _input_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def main():
@@ -239,7 +298,7 @@ def main():
     pb = launch(out_b)
     killed_with = 0
     while True:
-        time.sleep(2)
+        time.sleep(0.5)
         done = len([f for f in os.listdir(out_b) if f.endswith(".parquet")]) \
             if os.path.isdir(out_b) else 0
         if done >= max(2, n_files // 4):
@@ -257,7 +316,7 @@ def main():
     dig_a, rows_a = output_digest(out_a)
     dig_b, rows_b = output_digest(out_b)
     print(json.dumps({
-        "metric": "composed pipeline dress rehearsal (qf->pii->dedup->chunk->pack)",
+        "metric": "composed pipeline dress rehearsal (qf->dedup->pii->chunk->pack)",
         "identical_after_resume": dig_a == dig_b,
         "rows": rows_a,
         "rows_resumed": rows_b,
@@ -274,12 +333,6 @@ def main():
             _input_rows(files) / max(a_stats["transform_sec"], 1e-9), 1
         ),
     }))
-
-
-def _input_rows(files: list[str]) -> int:
-    import pyarrow.parquet as pq
-
-    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 if __name__ == "__main__":
