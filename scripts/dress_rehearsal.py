@@ -280,10 +280,15 @@ def main():
         subprocess.run(["rm", "-rf", d], check=True)
 
     def launch(out_dir):
+        # new session/process group so the kill can take down the Ray
+        # workers too — SIGKILL to the driver alone orphans in-flight
+        # tasks, which then FINISH their atomic partition writes (observed:
+        # killed at 3/8 partitions, orphans completed the other 5)
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--run", out_dir,
              "--files", str(n_files), "--corpus", corpus, "--cpus", str(cpus)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            start_new_session=True,
         )
 
     # Run A: uninterrupted reference
@@ -302,7 +307,7 @@ def main():
         done = len([f for f in os.listdir(out_b) if f.endswith(".parquet")]) \
             if os.path.isdir(out_b) else 0
         if done >= max(2, n_files // 4):
-            os.kill(pb.pid, signal.SIGKILL)
+            os.killpg(os.getpgid(pb.pid), signal.SIGKILL)
             killed_with = done
             break
         if pb.poll() is not None:  # finished before we could kill: too fast
