@@ -238,25 +238,22 @@ def embedding_cosine_near_dup(
             }
         )
 
-    def groups(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"ids": pa.array([], type=pa.list_(pa.int64()))})
-        return pa.table(
-            {"ids": pa.array([sorted(group[id_col].to_pylist())])}
-        )
-
-    g = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["table_id", "code"])
-        .map_groups(groups, batch_format="pyarrow")
-    )
     # Distributed exact verification (nothing corpus-proportional on the
-    # driver): candidate groups -> deduped pair Dataset -> normalized vectors
+    # driver): >=2-member buckets via the split-route (no map_groups call
+    # per singleton bucket) -> deduped pair Dataset -> normalized vectors
     # attached per side (broadcast under a cap, hash join above) -> per-pair
     # cosine in map_batches. Returns a Dataset (vec_a, vec_b, cosine).
-    from .dedup import attach_pair_payloads, distinct_pairs_from_groups
+    from .dedup import (
+        attach_pair_payloads,
+        distinct_pairs_from_groups,
+        dup_bucket_groups,
+    )
 
-    pairs = distinct_pairs_from_groups(g, "ids", max_group_size)
+    g = dup_bucket_groups(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        "table_id", "code", id_col,
+    )
+    pairs = distinct_pairs_from_groups(g, "doc_ids", max_group_size)
 
     def vec_payload(batch: pa.Table) -> pa.Table:
         # binary blob, not list<float64>: Acero joins (the above-cap attach

@@ -94,6 +94,152 @@ def minhash_signature(
     return prod.min(axis=1)
 
 
+# ----------------------- vectorized batch signatures (round 5)
+#
+# The per-doc signature path above builds every shingle STRING and md5-hashes
+# each one in Python — measured 94% of the dress rehearsal's wall time. The
+# batched kernel below computes identical-quality signatures with no
+# per-shingle Python work:
+#   tokens:   Arrow lower/split/flatten + dictionary_encode; md5 only per
+#             DISTINCT token (vocab-sized, memoized per worker process)
+#   shingles: rolling 64-bit mix of n consecutive token hashes (the
+#             heavy_hitters packed-key trick) — duplicates are fine, the
+#             min is multiset-insensitive
+#   minhash:  (a*h+b) mod p per perm over the flat shingle array, chunked
+#             through ONE preallocated (num_perm, 16K) buffer (a full-width
+#             matrix allocates ~GBs and thrashes; measured 7x slower), with
+#             per-doc mins via np.minimum.reduceat
+# Signatures use a DIFFERENT shingle hash than the verify pass (which keeps
+# md5-on-strings for DuckDB-oracle exactness) — banding only generates
+# candidates, and any well-mixed 64-bit hash gives the same recall
+# statistics; equality of candidate sets on planted near-dups is pinned by
+# tests/test_neardup_distributed.py.
+
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+_TOKEN_HASH_MEMO_CAP = 4_000_000
+
+
+def _shingle_hash_arrays(texts, n: int):
+    """Per-doc 64-bit shingle hashes, batch-vectorized.
+    Returns (flat hashes uint64, doc index per hash — grouped by doc,
+    n_docs). Docs with 0 < tokens < n emit ONE whole-doc shingle
+    (word_shingles parity); empty docs emit none."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    doc_idx = doc_idx[keep_np]
+    ndocs = len(texts)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_pylist()
+    memo = _TOKEN_HASH_MEMO
+    vh = np.empty(len(vocab), dtype=np.uint64)
+    for i, tkn in enumerate(vocab):
+        h = memo.get(tkn)
+        if h is None:
+            h = _md5_64(tkn) & 0xFFFFFFFFFFFFFFFF
+            if len(memo) < _TOKEN_HASH_MEMO_CAP:
+                memo[tkn] = h
+        vh[i] = h
+    ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = vh[ids]
+    L = th.size
+    tk = np.bincount(doc_idx, minlength=ndocs) if L else np.zeros(
+        ndocs, dtype=np.int64
+    )
+    out_h, out_d = [], []
+    m = max(L - n + 1, 0)
+    if m > 0:
+        with np.errstate(over="ignore"):
+            h = th[:m].copy()
+            for j in range(1, n):
+                h *= _MIX64
+                h ^= th[j: j + m]
+        valid = doc_idx[:m] == doc_idx[n - 1:]
+        out_h.append(h[valid])
+        out_d.append(doc_idx[:m][valid])
+    short = np.flatnonzero((tk > 0) & (tk < n))
+    if short.size:
+        starts = np.concatenate([[0], np.cumsum(tk)])[:-1]
+        sh = np.empty(short.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k, d in enumerate(short):
+                hh = th[starts[d]]
+                for j in range(1, int(tk[d])):
+                    hh = hh * _MIX64 ^ th[starts[d] + j]
+                sh[k] = hh
+        out_h.append(sh)
+        out_d.append(short.astype(np.int64))
+    if not out_h:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), ndocs
+    H = np.concatenate(out_h)
+    D = np.concatenate(out_d)
+    order = np.argsort(D, kind="stable")
+    return H[order], D[order], ndocs
+
+
+def _signature_matrix(texts, a: np.ndarray, b: np.ndarray, n: int,
+                      chunk: int = 16384) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures for a batch of texts;
+    empty docs get the all-max signature (minhash_signature parity)."""
+    H, D, ndocs = _shingle_hash_arrays(texts, n)
+    au = a.astype(np.uint64)[:, None]
+    bu = b.astype(np.uint64)[:, None]
+    nper = a.size
+    out = np.full((ndocs, nper), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not H.size:
+        return out
+    Hm = H & np.uint64(_MERSENNE)
+    starts_all = np.flatnonzero(np.diff(np.concatenate([[-1], D])) > 0)
+    buf = np.empty((nper, chunk), dtype=np.uint64)
+    for lo in range(0, Hm.size, chunk):
+        hi = min(lo + chunk, Hm.size)
+        w = hi - lo
+        v = buf[:, :w]
+        with np.errstate(over="ignore"):
+            np.multiply(au, Hm[None, lo:hi], out=v)
+            v += bu
+        v %= np.uint64(_MERSENNE)
+        # segment starts inside this chunk; a doc continuing across the
+        # boundary restarts its segment at lo and min-merges into out
+        i0 = max(int(np.searchsorted(starts_all, lo, side="right")) - 1, 0)
+        st = np.maximum(starts_all[i0:], lo)
+        st = st[st < hi] - lo
+        docs = D[st + lo]
+        mins = np.minimum.reduceat(v, st, axis=1).T
+        out[docs] = np.minimum(out[docs], mins)
+    return out
+
+
+def _band_hash_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, num_perm) signatures -> (n_docs, bands) int64 bucket keys,
+    vectorized (rolling mix per band; replaces per-doc-per-band md5 of a
+    hex string — bucket keys are transient, only equality matters)."""
+    docs, nper = sigs.shape
+    rows = nper // bands
+    out = np.empty((docs, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b_ in range(bands):
+            h = sigs[:, b_ * rows].copy()
+            for j in range(1, rows):
+                h *= _MIX64
+                h ^= sigs[:, b_ * rows + j]
+            h ^= h >> np.uint64(33)
+            h *= _MIX64
+            out[:, b_] = h
+    return out.view(np.int64)
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     sa, sb = word_shingles(text_a, n), word_shingles(text_b, n)
     if not sa and not sb:
@@ -263,50 +409,26 @@ def minhash_lsh_dedup(
     rows = num_perm // bands
 
     def signatures(batch: pa.Table) -> pa.Table:
-        out_band, out_hash, out_id = [], [], []
-        ids = batch[id_col].to_pylist()
-        for did, text in zip(ids, batch[text_col].to_pylist()):
-            sig = minhash_signature(word_shingles(text or "", shingle_n), a, b)
-            for band in range(bands):
-                band_sig = sig[band * rows : (band + 1) * rows]
-                h = _md5_64(band_sig.tobytes().hex())
-                out_band.append(band)
-                out_hash.append(h)
-                out_id.append(did)
+        # batched vectorized kernel (see _signature_matrix): no per-shingle
+        # strings, no per-shingle/per-band md5, one flat emit
+        sigs = _signature_matrix(batch[text_col], a, b, shingle_n)
+        bh = _band_hash_matrix(sigs, bands)  # (docs, bands)
+        ndocs = bh.shape[0]
         return pa.Table.from_arrays(
             [
-                pa.array(out_band, type=pa.int32()),
-                pa.array(out_hash, type=pa.int64()),
-                pa.array(out_id),
+                pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), ndocs)
+                ),
+                pa.array(bh.reshape(-1), type=pa.int64()),
+                batch[id_col].take(
+                    pa.array(np.repeat(np.arange(ndocs, dtype=np.int64), bands))
+                ),
             ],
             names=["band_id", "band_hash", id_col],
         )
 
     buckets = ds.map_batches(signatures, batch_format="pyarrow")
-
-    def bucket_groups(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.Table.from_arrays(
-                [
-                    pa.array([], type=pa.int32()),
-                    pa.array([], type=pa.int64()),
-                    pa.array([], type=pa.list_(group[id_col].type)),
-                ],
-                names=["band_id", "band_hash", "doc_ids"],
-            )
-        ids = sorted(group[id_col].to_pylist())
-        return pa.Table.from_arrays(
-            [
-                group["band_id"].slice(0, 1),
-                group["band_hash"].slice(0, 1),
-                pa.array([ids]),
-            ],
-            names=["band_id", "band_hash", "doc_ids"],
-        )
-
-    groups = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_groups, batch_format="pyarrow"
-    )
+    groups = dup_bucket_groups(buckets, "band_id", "band_hash", id_col)
     if not verify:
         return groups
 
@@ -359,6 +481,87 @@ def minhash_lsh_dedup(
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
     return withp.map_batches(verify_jaccard, batch_format="pyarrow")
+
+
+def dup_bucket_groups(buckets, band_col: str, hash_col: str, id_col: str):
+    """(band, hash, id) bucket rows -> (band, hash, sorted member-id list)
+    groups for buckets with >= 2 members — WITHOUT one Python map_groups
+    call per bucket. On a mostly-unique corpus almost every bucket is a
+    singleton (measured: 4M buckets, 67K with dups — the naive
+    groupby().map_groups cost ~4 minutes of pure per-group call overhead),
+    so: count per key with the Arrow hash aggregate, broadcast the dup keys
+    (small by definition of 'dup'), filter the emit rows map-side, and run
+    the groupby over ONLY the dup-keyed rows."""
+    from .hashagg import hash_aggregate
+
+    counts = hash_aggregate(
+        buckets,
+        keys=[band_col, hash_col],
+        aggs=[("count", None)],
+        out_names=["c"],
+    )
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c"], 1)).select([band_col, hash_col])
+
+    blocks = [
+        t
+        for t in ray.get(
+            counts.map_batches(dup_only, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    id_type = _arrow_schema(buckets).field(id_col).type
+    if not blocks:
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], type=pa.int32()),
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.list_(id_type)),
+            ],
+            names=[band_col, hash_col, "doc_ids"],
+        )
+        return ray.data.from_arrow(empty)
+    keyt = pa.concat_tables(blocks)
+
+    def packed(band, hsh) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(band, pa.string()), pc.cast(hsh, pa.string()), ":"
+        )
+
+    key_ref = ray.put(packed(keyt[band_col], keyt[hash_col]).combine_chunks())
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(packed(t[band_col], t[hash_col]), value_set=ray.get(key_ref))
+        )
+
+    def bucket_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int32()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.list_(id_type)),
+                ],
+                names=[band_col, hash_col, "doc_ids"],
+            )
+        ids = sorted(group[id_col].to_pylist())
+        return pa.Table.from_arrays(
+            [
+                group[band_col].slice(0, 1),
+                group[hash_col].slice(0, 1),
+                pa.array([ids], type=pa.list_(id_type)),
+            ],
+            names=[band_col, hash_col, "doc_ids"],
+        )
+
+    return (
+        buckets.map_batches(keep_dup, batch_format="pyarrow")
+        .groupby([band_col, hash_col])
+        .map_groups(bucket_groups, batch_format="pyarrow")
+    )
 
 
 # ----------------------------------------------- distributed pair machinery
@@ -615,30 +818,9 @@ def simhash_dedup(
             names=["band_id", "band_val", id_col],
         )
 
-    def bucket_groups(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.Table.from_arrays(
-                [
-                    pa.array([], type=pa.int32()),
-                    pa.array([], type=pa.int64()),
-                    pa.array([], type=pa.list_(group[id_col].type)),
-                ],
-                names=["band_id", "band_val", "doc_ids"],
-            )
-        ids = sorted(group[id_col].to_pylist())
-        return pa.Table.from_arrays(
-            [
-                group["band_id"].slice(0, 1),
-                group["band_val"].slice(0, 1),
-                pa.array([ids]),
-            ],
-            names=["band_id", "band_val", "doc_ids"],
-        )
-
-    groups = (
-        ds.map_batches(sig, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_groups, batch_format="pyarrow")
+    groups = dup_bucket_groups(
+        ds.map_batches(sig, batch_format="pyarrow"),
+        "band_id", "band_val", id_col,
     )
     if not verify:
         return groups
