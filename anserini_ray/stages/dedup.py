@@ -494,6 +494,11 @@ def dup_bucket_groups(buckets, band_col: str, hash_col: str, id_col: str):
     the groupby over ONLY the dup-keyed rows."""
     from .hashagg import hash_aggregate
 
+    # materialize once: buckets feed BOTH the count aggregate and the
+    # keep_dup filter — left lazy, the (expensive) signature stage upstream
+    # executes twice (the write_termstats double-execution lesson); the
+    # materialized rows are skinny (band, hash, id)
+    buckets = buckets.materialize()
     counts = hash_aggregate(
         buckets,
         keys=[band_col, hash_col],
@@ -537,8 +542,21 @@ def dup_bucket_groups(buckets, band_col: str, hash_col: str, id_col: str):
             pc.is_in(packed(t[band_col], t[hash_col]), value_set=ray.get(key_ref))
         )
 
-    def bucket_groups(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
+    # Group formation WITHOUT one map_groups call per bucket (67K dup
+    # buckets still cost ~30 s of per-group overhead): hash-partition the
+    # dup rows on the (well-mixed) hash column so every key's rows co-locate
+    # in ONE of nparts partitions, then build all of a partition's groups
+    # vectorized (sort + run-boundary detection + ListArray offsets).
+    nparts = max(2, min(int(ray.cluster_resources().get("CPU", 8)), 32))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(nparts)).astype(np.int64))
+        )
+
+    def build_groups(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
             return pa.Table.from_arrays(
                 [
                     pa.array([], type=pa.int32()),
@@ -547,20 +565,41 @@ def dup_bucket_groups(buckets, band_col: str, hash_col: str, id_col: str):
                 ],
                 names=[band_col, hash_col, "doc_ids"],
             )
-        ids = sorted(group[id_col].to_pylist())
+        order = pc.sort_indices(
+            part,
+            sort_keys=[(band_col, "ascending"), (hash_col, "ascending"),
+                       (id_col, "ascending")],
+        )
+        part = part.take(order)
+        band = part[band_col].to_numpy(zero_copy_only=False)
+        hsh = part[hash_col].to_numpy(zero_copy_only=False)
+        n = part.num_rows
+        change = (band[1:] != band[:-1]) | (hsh[1:] != hsh[:-1])
+        bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+        firsts = bounds[:-1]
+        ids_col_sorted = part[id_col].combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, type=pa.int32()), ids_col_sorted
+        )
         return pa.Table.from_arrays(
             [
-                group[band_col].slice(0, 1),
-                group[hash_col].slice(0, 1),
-                pa.array([ids], type=pa.list_(id_type)),
+                pc.cast(
+                    part[band_col].take(pa.array(firsts)), pa.int32()
+                ),
+                pc.cast(part[hash_col].take(pa.array(firsts)), pa.int64()),
+                lists,
             ],
             names=[band_col, hash_col, "doc_ids"],
         )
 
     return (
         buckets.map_batches(keep_dup, batch_format="pyarrow")
-        .groupby([band_col, hash_col])
-        .map_groups(bucket_groups, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: build_groups(g.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -659,6 +698,10 @@ def attach_pair_payloads(pairs, payload_ds):
     bytes: a (id -> payload) map is built INSIDE a Ray task (the driver holds
     only the object ref) and read per task (broadcast map-side join).
     Above either cap: two distributed hash joins."""
+    # materialize BEFORE count(): on a lazy Dataset, count() executes the
+    # whole candidate-pair pipeline and then the broadcast/join consumers
+    # would execute it again
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         sch = payload_ds.schema()
@@ -674,7 +717,6 @@ def attach_pair_payloads(pairs, payload_ds):
         )
         return ray.data.from_arrow(empty)
     if n_pairs <= PAIR_BROADCAST_LIMIT:
-        pairs = pairs.materialize()
         cand = frozenset(pairs.unique("doc_a")) | frozenset(pairs.unique("doc_b"))
         cand_ref = ray.put(cand)
 
