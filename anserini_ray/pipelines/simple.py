@@ -105,7 +105,9 @@ def top_terms(sf_dir: str, k: int = 50):
 
 def collection_stats(sf_dir: str):
     """Single-row doc_count / sum_dl / avgdl (collectionStatistics analog)."""
-    dl = doc_lengths(sf_dir)
+    # materialize once: count() and sum() would each execute the lazy
+    # doc_lengths pipeline (the write_termstats double-execution lesson)
+    dl = doc_lengths(sf_dir).materialize()
     n = dl.count()
     s = dl.sum("dl")
     return pa.Table.from_arrays(
