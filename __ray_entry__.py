@@ -1160,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": TD.lang_id,
         "fingerprints": TD.fingerprints,
         "minhash_dedup": TD.minhash_dedup,
+        "ngram_jaccard_pairs": TD.ngram_jaccard_pairs,
         "embedding_near_dup": TD.embedding_near_dup,
         "decontaminate": TD.decontaminate,
         "hash_split": TD.hash_split,
@@ -1228,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": TD.LANG_ID_SQL,
         "fingerprints": TD.FINGERPRINTS_SQL,
         "minhash_dedup": TD.MINHASH_DEDUP_SQL,
+        "ngram_jaccard_pairs": TD.NGRAM_JACCARD_SQL,
         "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
         # round-3 oracle flips
         "decontaminate": TD.DECONTAMINATE_SQL,

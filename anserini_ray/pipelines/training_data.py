@@ -429,6 +429,17 @@ def minhash_dedup(sf_dir: str):
     )
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """Near-dup pairs (doc_a, doc_b, jaccard>=0.5) via EXACT prefix-filtering
+    set-similarity self-join (AllPairs/PPJoin blocking — recall 1 by the
+    prefix lemma, deterministic, no MinHash probability) + the shared
+    distributed exact-Jaccard verify. Same output contract as minhash_dedup,
+    different blocking algorithm; both equal the all-pairs SQL oracle."""
+    return D.ngram_jaccard_join(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
+    )
+
+
 # Exact 3-gram-shingle Jaccard over all pairs — the DuckDB mirror of
 # word_shingles + ngram_jaccard (stages/dedup.py).
 MINHASH_DEDUP_SQL = """
@@ -456,6 +467,10 @@ MINHASH_DEDUP_SQL = """
     SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
     FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.5
 """
+
+# ngram_jaccard_pairs shares the exact all-pairs oracle: same shingle
+# definition, same threshold — only the (exact-recall) blocking differs.
+NGRAM_JACCARD_SQL = MINHASH_DEDUP_SQL
 
 
 def simhash_groups(sf_dir: str):

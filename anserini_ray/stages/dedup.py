@@ -438,6 +438,25 @@ def minhash_lsh_dedup(
     # join under a cap, hash join above) -> vectorized per-pair Jaccard in
     # map_batches. Returns a Dataset (doc_a, doc_b, jaccard).
     pairs = distinct_pairs_from_groups(groups, "doc_ids", max_group_size)
+    return verified_jaccard_pairs(
+        ds, pairs, text_col, id_col, shingle_n, threshold
+    )
+
+
+def verified_jaccard_pairs(
+    ds,
+    pairs,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+):
+    """Exact-Jaccard verification of a candidate-pair Dataset: attach each
+    side's md5 shingle-hash payload (broadcast under the pair/byte caps,
+    distributed hash join above), compute exact Jaccard per pair vectorized,
+    and keep pairs >= threshold. Shared by minhash_lsh_dedup and
+    ngram_jaccard_join — md5-on-strings hashing so the result is
+    reproducible by the DuckDB all-pairs SQL oracle."""
 
     def shingle_payload(batch: pa.Table) -> pa.Table:
         # payload is a BINARY blob (sorted int64 shingle hashes as raw
@@ -481,6 +500,164 @@ def minhash_lsh_dedup(
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
     return withp.map_batches(verify_jaccard, batch_format="pyarrow")
+
+
+# --------------------------------------- exact set-similarity join (AllPairs)
+
+def _hot_shingle_set(ds, text_col: str, shingle_n: int, k: int):
+    """Top-k most frequent shingle hashes in the corpus, as a sorted uint64
+    numpy array. Exact df via the streaming hash aggregate (pre-combined per
+    block, so the shuffle is vocab-bounded), then per-block top-k partials —
+    the driver merges at most k x nblocks skinny (hash, df) rows, never the
+    vocabulary."""
+    from .hashagg import hash_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        H, D, _ = _shingle_hash_arrays(batch[text_col], shingle_n)
+        # distinct per doc: df counts documents, not occurrences
+        if H.size:
+            order = np.lexsort((H, D))
+            Hs, Ds = H[order], D[order]
+            keep = np.ones(Hs.size, dtype=bool)
+            keep[1:] = (Ds[1:] != Ds[:-1]) | (Hs[1:] != Hs[:-1])
+            Hs = Hs[keep]
+        else:
+            Hs = H
+        return pa.Table.from_arrays(
+            [pa.array(Hs.view(np.int64))], names=["sh"]
+        )
+
+    df_ds = hash_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["sh"],
+        aggs=[("count", None)],
+        out_names=["df"],
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.select_k_unstable(
+            batch, k=k, sort_keys=[("df", "descending")]
+        )
+        return batch.take(idx)
+
+    parts = [
+        t
+        for t in ray.get(
+            df_ds.map_batches(block_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    merged = pa.concat_tables(parts)
+    if merged.num_rows > k:
+        merged = merged.take(
+            pc.select_k_unstable(merged, k=k, sort_keys=[("df", "descending")])
+        )
+    return np.sort(
+        merged["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+
+
+def ngram_jaccard_join(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hot_shingles: int = 65536,
+    verify: bool = True,
+    max_group_size: int | None = None,
+):
+    """EXACT n-gram-Jaccard set-similarity self-join via prefix filtering
+    (Bayardo et al. AllPairs / Chaudhuri et al. SSJoin blocking): all pairs
+    with Jaccard(shingles_a, shingles_b) >= threshold, recall 1 by
+    construction (no MinHash probability, no SimHash hamming proxy).
+
+    Prefix-filter lemma: under ANY global total order on the shingle
+    universe, two sets with Jaccard >= t share at least one element within
+    each set's first |S| - ceil(t*|S|) + 1 elements. So each doc emits only
+    its prefix shingles, candidates form in a single groupby on the shingle
+    hash, and the shared distributed verify computes exact Jaccard.
+
+    Scale shape: the order is (is_hot, hash) — a BOUNDED broadcast set of
+    the `hot_shingles` most-document-frequent shingles (exact df via the
+    streaming hash aggregate + per-block top-k partials) sorts frequent
+    shingles to the BACK of every prefix, so stop-word-like shingles almost
+    never create buckets; correctness is order-independent, only candidate
+    volume changes. hot_shingles=0 skips the df pass entirely (pure hash
+    order, map-only emit). Everything downstream reuses the minhash pair
+    machinery: ONE groupby on the emitted (shingle, id) rows, pair dedup,
+    capped/star-logged groups, broadcast-or-join payload attach.
+
+    Exactness caveat (same class as exact_dedup's content hash): candidate
+    generation and sizes use 64-bit rolling shingle hashes, so a 2^-64
+    cross-shingle collision could in principle perturb a prefix; the verify
+    stage itself is md5-based and oracle-exact.
+
+    max_group_size=None by default: exact all-pairs contract (a prefix
+    bucket on a truly-shared rare shingle is legitimate signal); set a cap
+    on corpora with pathological template shingles — truncation is logged,
+    never silent."""
+    hot = (
+        _hot_shingle_set(ds, text_col, shingle_n, hot_shingles)
+        if hot_shingles
+        else np.empty(0, dtype=np.uint64)
+    )
+    hot_ref = ray.put(hot)
+    t = float(threshold)
+
+    def emit_prefixes(batch: pa.Table) -> pa.Table:
+        H, D, ndocs = _shingle_hash_arrays(batch[text_col], shingle_n)
+        ids = batch[id_col]
+        if not H.size:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int32()),
+                    pa.array([], type=pa.int64()),
+                    ids.slice(0, 0),
+                ],
+                names=["band_id", "shingle_hash", id_col],
+            )
+        hot_arr = ray.get(hot_ref)
+        if hot_arr.size:
+            pos = np.searchsorted(hot_arr, H)
+            inb = pos < hot_arr.size
+            is_hot = inb & (hot_arr[np.minimum(pos, hot_arr.size - 1)] == H)
+        else:
+            is_hot = np.zeros(H.size, dtype=bool)
+        # global order (doc, is_hot, hash): dups of a shingle within a doc
+        # are adjacent (same hash -> same is_hot); non-hot shingles lead
+        order = np.lexsort((H, is_hot, D))
+        Hs, Ds = H[order], D[order]
+        keep = np.ones(Hs.size, dtype=bool)
+        keep[1:] = (Ds[1:] != Ds[:-1]) | (Hs[1:] != Hs[:-1])
+        Hd, Dd = Hs[keep], Ds[keep]
+        m = np.bincount(Dd, minlength=ndocs)  # distinct shingles per doc
+        p = np.maximum(m - np.ceil(t * m).astype(np.int64) + 1, 0)
+        starts = np.concatenate([[0], np.cumsum(m)])[:-1]
+        rank = np.arange(Hd.size, dtype=np.int64) - starts[Dd]
+        sel = rank < p[Dd]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(int(sel.sum()), dtype=np.int32)),
+                pa.array(Hd[sel].view(np.int64)),
+                ids.take(pa.array(Dd[sel])),
+            ],
+            names=["band_id", "shingle_hash", id_col],
+        )
+
+    emitted = ds.map_batches(emit_prefixes, batch_format="pyarrow")
+    groups = dup_bucket_groups(emitted, "band_id", "shingle_hash", id_col)
+    if not verify:
+        return groups
+    pairs = distinct_pairs_from_groups(groups, "doc_ids", max_group_size)
+    return verified_jaccard_pairs(
+        ds, pairs, text_col, id_col, shingle_n, threshold
+    )
 
 
 def dup_bucket_groups(buckets, band_col: str, hash_col: str, id_col: str):

@@ -56,6 +56,51 @@ def test_minhash_verify_matches_bruteforce_at_full_recall(ray_session):
         assert j == ngram_jaccard(texts[a], texts[b])
 
 
+@pytest.mark.parametrize("hot_shingles", [0, 4])
+def test_ngram_jaccard_join_matches_bruteforce(ray_session, hot_shingles):
+    """Prefix-filtering set-similarity join is EXACT (recall 1 by the prefix
+    lemma) under any global order — pure hash order (hot_shingles=0) and
+    hot-set-last order must both equal brute force, pairs AND values."""
+    import ray.data
+
+    from anserini_ray.stages.dedup import ngram_jaccard, ngram_jaccard_join
+
+    rows = _doc_rows()
+    ds = ray.data.from_items(rows)
+    got = ngram_jaccard_join(
+        ds, threshold=0.6, hot_shingles=hot_shingles
+    ).take_all()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got_pairs == _brute_jaccard_pairs(rows, 0.6)
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    for r in got:
+        assert r["jaccard"] == ngram_jaccard(texts[r["doc_a"]], texts[r["doc_b"]])
+
+
+def test_ngram_jaccard_join_edge_docs(ray_session):
+    """Short docs (< n tokens -> one whole-doc shingle), empty docs (no
+    shingles, excluded like the SQL oracle), threshold 1.0 (prefix length 1,
+    exact-duplicate detection only)."""
+    import ray.data
+
+    from anserini_ray.stages.dedup import ngram_jaccard_join
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta"},       # short: 1 shingle
+        {"doc_id": 2, "text": "alpha beta"},       # identical short
+        {"doc_id": 3, "text": ""},                 # empty: no shingles
+        {"doc_id": 4, "text": "x y z w x y z w"},  # normal
+        {"doc_id": 5, "text": "x y z w x y z w"},  # exact duplicate of 4
+        {"doc_id": 6, "text": "totally unrelated words here now"},
+    ]
+    got = ngram_jaccard_join(
+        ray.data.from_items(rows), threshold=1.0
+    ).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert pairs == {(1, 2), (4, 5)}
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
 def test_simhash_verify_matches_bruteforce(ray_session):
     import ray.data
 
