@@ -3,12 +3,13 @@ with typed metadata, processed by actor-pool map_batches stages.
 
 Decoder modes:
 - ``decoder="numpy"`` — REAL decoding for the formats the pure-stdlib
-  codecs cover (PNG — all five scanline filters via zlib inflate + numpy
-  unfilter — PPM/PGM, uncompressed 24-bit BMP images, RIFF PCM WAV audio;
-  see stages/codecs.py): real pixels/samples, real bilinear resize, real
-  audio windowing. Formats needing non-stdlib entropy coders (JPEG/MP3/
-  MP4) still raise NotImplementedError — those libraries are absent in
-  this environment (declared).
+  codecs cover (baseline JPEG — Huffman entropy decode + IDCT + chroma
+  upsampling, see stages/jpeg.py — PNG with all five scanline filters via
+  zlib inflate + numpy unfilter, PPM/PGM, uncompressed 24-bit BMP images,
+  RIFF PCM WAV audio; see stages/codecs.py): real pixels/samples, real
+  bilinear resize, real audio windowing. Formats needing non-stdlib
+  coders (progressive JPEG, MP3, MP4) still raise NotImplementedError —
+  those libraries are absent in this environment (declared).
 - ``decoder="fake"`` — deterministic stand-in (hash-seeded statistics) so
   the Ray-side plumbing — schema, batch sizing, actor signature, output
   layout — is testable for arbitrary media types.
@@ -118,6 +119,15 @@ class MediaFeatureExtract:
                     gray, bins=self.feature_dim, range=(0, 256)
                 )
                 return (hist / max(1, gray.size)).astype(np.float32)
+            if payload[:2] == b"\xff\xd8":
+                from .jpeg import decode_jpeg
+
+                img = decode_jpeg(payload)
+                gray = img.mean(axis=2) if img.ndim == 3 else img
+                hist, _ = np.histogram(
+                    gray, bins=self.feature_dim, range=(0, 256)
+                )
+                return (hist / max(1, gray.size)).astype(np.float32)
             if payload[:4] == b"RIFF":
                 samples, _sr = codecs.decode_wav(payload)
                 if samples.ndim > 1:
@@ -133,8 +143,9 @@ class MediaFeatureExtract:
                     (sq[bounds[1:]] - sq[bounds[:-1]]) / seg
                 ).astype(np.float32)
             raise NotImplementedError(
-                f"numpy decoder covers PPM/PGM, PNG, 24-bit BMP and PCM "
-                f"WAV; {media_type!r} payloads need an external library"
+                f"numpy decoder covers PPM/PGM, PNG, baseline JPEG, 24-bit "
+                f"BMP and PCM WAV; {media_type!r} payloads need an external "
+                f"library"
             )
         raise NotImplementedError(
             "real media decoding requires image/audio libraries not present "
@@ -212,8 +223,16 @@ class ImageResize:
                 return codecs.encode_png(
                     codecs.resize_bilinear(img, self.h, self.w)
                 )
+            if payload[:2] == b"\xff\xd8":
+                from . import jpeg
+
+                img = jpeg.decode_jpeg(payload)
+                return jpeg.encode_jpeg(
+                    codecs.resize_bilinear(img, self.h, self.w)
+                )
             raise NotImplementedError(
-                "numpy resize covers PPM/PGM, PNG and 24-bit BMP payloads"
+                "numpy resize covers PPM/PGM, PNG, baseline JPEG and "
+                "24-bit BMP payloads"
             )
         if self.decoder != "fake":
             raise NotImplementedError(
