@@ -15,10 +15,10 @@ code for:
   (None/Sub/Up/Average/Paeth) unfiltered in numpy
 
 plus numpy resampling kernels (nearest / bilinear image resize, audio
-window framing). Baseline JPEG (encode + decode, incl. 4:2:0 and restart
-intervals) lives in the sibling `stages/jpeg.py`. Formats outside this
-set still raise NotImplementedError in the stages (documented);
-progressive JPEG / MP3 / MP4 remain library-bound and out of scope.
+window framing). JPEG (encode + decode; baseline and progressive, incl.
+4:2:0 and restart intervals) lives in the sibling `stages/jpeg.py`.
+Formats outside this set still raise NotImplementedError in the stages
+(documented); MP3 / MP4 remain library-bound and out of scope.
 """
 
 from __future__ import annotations

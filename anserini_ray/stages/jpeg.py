@@ -5,14 +5,23 @@ JPEG, and baseline JPEG needs no external library — the entropy coder is
 plain Huffman (Annex F), the transform an 8x8 DCT, both expressible with
 ints and numpy. Scope:
 
-- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with any
-  standard sampling (4:4:4 / 4:2:2 / 4:2:0 / ...), multiple DQT/DHT
-  segments, restart intervals (DRI + RSTn), byte stuffing. Progressive
-  (SOF2), arithmetic coding and 12-bit precision raise NotImplementedError.
+- decode: baseline sequential (SOF0/1) AND progressive (SOF2) per T.81
+  Annex G — spectral selection, successive approximation (DC and AC
+  refinement scans, EOB runs, correction bits), non-interleaved scans
+  over the component's own block grid — 8-bit, grayscale or YCbCr with
+  any standard sampling (4:4:4 / 4:2:2 / 4:2:0 / ...), multiple DQT/DHT
+  segments, restart intervals (DRI + RSTn), byte stuffing. Arithmetic
+  coding, hierarchical/lossless frames and 12-bit precision raise
+  NotImplementedError.
 - encode: baseline 4:4:4 (or single-component grayscale) with the Annex
   K.1 quantization tables scaled by an IJG-style quality factor and the
-  Annex K.3 typical Huffman tables — enough to generate valid bitstreams
-  for round-trip testing and synthetic corpora.
+  Annex K.3 typical Huffman tables; and progressive encode with an
+  IJG-style default scan script (or a caller-provided one) using
+  per-scan optimal length-limited Huffman tables built in a counting
+  pass — enough to generate valid bitstreams for round-trip testing and
+  synthetic corpora. A progressive encode carries exactly the same
+  quantized coefficients as the baseline encode of the same image, so
+  decoded pixels must match bit-for-bit — the main correctness oracle.
 
 The Huffman bit loops are per-symbol Python (inherent to the format); the
 numeric heavy lifting — DCT/IDCT over all blocks at once, quantization,
@@ -272,11 +281,20 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    scan_script: list | None = None,
 ) -> bytes:
-    """Baseline JFIF encode: (H, W) grayscale or (H, W, 3) RGB uint8.
+    """JFIF encode: (H, W) grayscale or (H, W, 3) RGB uint8.
     subsampling "444" or "420" (ignored for grayscale); restart_interval
-    emits RSTn markers every N MCUs (0 = none). Standard Annex-K tables
-    scaled by the IJG-style `quality` factor."""
+    emits RSTn markers every N MCUs (0 = none). Standard Annex-K
+    quantization tables scaled by the IJG-style `quality` factor.
+
+    progressive=True emits an SOF2 frame driven by `scan_script` (or an
+    IJG-style default): a list of (component_indices, Ss, Se, Ah, Al)
+    scans, validated to cover every coefficient and refine down to Al=0
+    so the decoded pixels match the baseline encode exactly. Each scan
+    gets optimal Huffman tables from a counting pass (the Annex K.3
+    tables lack the EOB-run symbols progressive scans need)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -318,6 +336,48 @@ def encode_jpeg(
         c = _component_coeffs(padded, qt_l if k == 0 else qt_c)
         coeffs.append(c.reshape(by, bx, 64))
 
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )  # APP0
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(v) for v in table[ZIGZAG]
+        )
+
+    out += dqt(0, qt_l)
+    if not gray:
+        out += dqt(1, qt_c)
+
+    ncomp = len(planes)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += struct.pack(
+            "BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1
+        )
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + sof
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if progressive:
+        scans = (
+            [tuple(s) for s in scan_script]
+            if scan_script is not None
+            else _default_scan_script(ncomp)
+        )
+        _check_scan_script(scans, ncomp)
+        out += _encode_progressive_scans(
+            coeffs, sampling, h, w, mcux, mcuy, restart_interval, scans
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    out += _dht_segment(0, 0, *DC_LUM) + _dht_segment(1, 0, *AC_LUM)
+    if not gray:
+        out += _dht_segment(0, 1, *DC_CHROM) + _dht_segment(1, 1, *AC_CHROM)
+
     dc_l = _huff_codes(*DC_LUM)
     ac_l = _huff_codes(*AC_LUM)
     dc_c = _huff_codes(*DC_CHROM)
@@ -347,45 +407,386 @@ def encode_jpeg(
                     )
     scan = writer.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
-    )  # APP0
-
-    def dqt(tid: int, table: np.ndarray) -> bytes:
-        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(v) for v in table[ZIGZAG]
-        )
-
-    out += dqt(0, qt_l)
-    if not gray:
-        out += dqt(1, qt_c)
-
-    ncomp = len(planes)
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci, (sh, sv) in enumerate(sampling):
-        sof += struct.pack(
-            "BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1
-        )
-    out += b"\xff\xc0" + sof  # SOF0
-
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-
-    out += dht(0, 0, *DC_LUM) + dht(1, 0, *AC_LUM)
-    if not gray:
-        out += dht(0, 1, *DC_CHROM) + dht(1, 1, *AC_CHROM)
-
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         sos += struct.pack("BB", ci + 1, 0 if ci == 0 else 0x11)
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + sos + scan + b"\xff\xd9"  # SOS .. EOI
     return bytes(out)
+
+
+def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _default_scan_script(ncomp: int) -> list[tuple]:
+    """IJG-style default progression: DC at Al=1, luma AC split into a
+    low band then the rest, chroma AC whole-band, then refinement scans
+    down to Al=0. Each entry is (component_indices, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def _check_scan_script(scans: list[tuple], ncomp: int) -> None:
+    """Validate T.81 G.1.1.1 scan-script rules plus the encoder's own
+    exactness contract: every coefficient of every component is sent by
+    exactly one first scan and refined contiguously down to Al=0 (so the
+    decode matches the baseline encode bit-for-bit), DC precedes AC per
+    component, AC scans are single-component, refinements lower Al by 1."""
+    dc_al: list[int | None] = [None] * ncomp
+    ac_al = [[None] * 64 for _ in range(ncomp)]
+    for comps_in, ss, se, ah, al in scans:
+        if not comps_in or len(set(comps_in)) != len(comps_in):
+            raise ValueError("bad component list in scan script")
+        if any(not 0 <= k < ncomp for k in comps_in):
+            raise ValueError("scan component out of range")
+        if not (0 <= ss <= se <= 63):
+            raise ValueError("bad spectral band")
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scans cannot mix DC and AC")
+        if ss > 0 and len(comps_in) != 1:
+            raise ValueError("AC scans must be single-component")
+        if not (0 <= al <= 13):
+            raise ValueError("bad point transform")
+        if ah and ah != al + 1:
+            raise ValueError("refinement must lower Al by exactly 1")
+        for k in comps_in:
+            if ss > 0 and dc_al[k] is None:
+                raise ValueError("AC scan before the component's DC scan")
+            for c in ([0] if ss == 0 else range(ss, se + 1)):
+                cur = dc_al[k] if ss == 0 else ac_al[k][c]
+                if ah == 0 and cur is not None:
+                    raise ValueError("coefficient band sent twice")
+                if ah != 0 and cur != ah:
+                    raise ValueError("refinement without matching first scan")
+                if ss == 0:
+                    dc_al[k] = al
+                else:
+                    ac_al[k][c] = al
+    for k in range(ncomp):
+        if dc_al[k] != 0:
+            raise ValueError(f"component {k}: DC not refined to Al=0")
+        for c in range(1, 64):
+            if ac_al[k][c] != 0:
+                raise ValueError(f"component {k}: AC {c} not refined to Al=0")
+
+
+class _CountingScanWriter:
+    """First pass of the two-pass progressive encode: records Huffman
+    symbol frequencies per (class, table id); bit payloads and restart
+    markers are discarded. Control flow (EOB runs, forced flushes) only
+    depends on coefficient values, so both passes take identical paths."""
+
+    def __init__(self):
+        self.freq: dict[tuple[int, int], dict[int, int]] = {}
+
+    def symbol(self, cls: int, tid: int, sym: int):
+        t = self.freq.setdefault((cls, tid), {})
+        t[sym] = t.get(sym, 0) + 1
+
+    def write(self, value: int, length: int):
+        pass
+
+    def marker(self, m: int):
+        pass
+
+
+class _EmittingScanWriter:
+    """Second pass: emits the entropy-coded scan using the optimal code
+    tables built from the counting pass."""
+
+    def __init__(self, codes: dict[tuple[int, int], dict]):
+        self.codes = codes
+        self.w = _BitWriter()
+
+    def symbol(self, cls: int, tid: int, sym: int):
+        code, length = self.codes[(cls, tid)][sym]
+        self.w.write(code, length)
+
+    def write(self, value: int, length: int):
+        self.w.write(value, length)
+
+    def marker(self, m: int):
+        self.w.marker(m)
+
+    def flush(self) -> bytes:
+        return self.w.flush()
+
+
+def _emit_eobrun(out, ac_tid: int, eob: list[int], bitbuf: list[int]):
+    """Flush a pending EOB run and the correction bits buffered behind it
+    (T.81 G.1.2.2: the run length's low bits follow the (nbits<<4) symbol;
+    buffered refinement bits follow the run)."""
+    if eob[0] > 0:
+        nbits = eob[0].bit_length() - 1
+        out.symbol(1, ac_tid, nbits << 4)
+        if nbits:
+            out.write(eob[0] & ((1 << nbits) - 1), nbits)
+        eob[0] = 0
+        for b in bitbuf:
+            out.write(b, 1)
+        bitbuf.clear()
+
+
+def _encode_first_ac(out, blk, ac_tid: int, ss: int, se: int, al: int,
+                     eob: list[int], bitbuf: list[int]):
+    """Progressive first-pass AC band encode (G.1.2.2): coefficients
+    point-transformed by >> Al (magnitude truncation toward zero), EOB
+    runs accumulated across blocks up to the 0x7FFF cap."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(out, ac_tid, eob, bitbuf)
+        while r > 15:
+            out.symbol(1, ac_tid, 0xF0)
+            r -= 16
+        size, bits = _magnitude(-t if v < 0 else t)
+        out.symbol(1, ac_tid, (r << 4) | size)
+        out.write(bits, size)
+        r = 0
+    if r > 0:
+        eob[0] += 1
+        if eob[0] == 0x7FFF:
+            _emit_eobrun(out, ac_tid, eob, bitbuf)
+
+
+def _encode_refine_ac(out, blk, ac_tid: int, ss: int, se: int, al: int,
+                      eob: list[int], pending: list[int]):
+    """Progressive AC refinement encode (G.1.2.3). Two correction-bit
+    buffers, as in the IJG encoder: `pending` holds bits from completed
+    blocks folded into the running EOB count (emitted right after the
+    EOB-run symbol), while the current block's bits are emitted after
+    its own next symbol (ZRL or newly-nonzero coefficient) — the
+    stream-order contract the refinement decoder depends on."""
+    absvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eobpos = ss - 1  # position of the last newly-nonzero coefficient
+    for idx, t in enumerate(absvals):
+        if t == 1:
+            eobpos = ss + idx
+    r = 0
+    br: list[int] = []  # this block's correction bits since last symbol
+    for k in range(ss, se + 1):
+        t = absvals[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs only in front of a newly-nonzero coefficient; runs past
+        # the last one fold into the EOB run instead
+        while r > 15 and k <= eobpos:
+            _emit_eobrun(out, ac_tid, eob, pending)
+            out.symbol(1, ac_tid, 0xF0)
+            r -= 16
+            for b in br:
+                out.write(b, 1)
+            br.clear()
+        if t > 1:
+            # history coefficient: next magnitude bit, zero run unaffected
+            br.append(t & 1)
+            continue
+        _emit_eobrun(out, ac_tid, eob, pending)
+        out.symbol(1, ac_tid, (r << 4) | 1)
+        out.write(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            out.write(b, 1)
+        br.clear()
+        r = 0
+    if r > 0 or br:
+        eob[0] += 1
+        pending.extend(br)
+        # force out the run before the counter or the bit buffer overflows
+        if eob[0] == 0x7FFF or len(pending) > 900:
+            _emit_eobrun(out, ac_tid, eob, pending)
+
+
+def _run_progressive_scan(out, coeffs, sampling, mcux: int, mcuy: int,
+                          fh: int, fw: int, comps_in, ss: int, se: int,
+                          ah: int, al: int, restart_interval: int, tids):
+    """Drive one scan over the coefficient arrays, emitting through
+    `out` (counting or emitting writer). Interleaved scans (ns > 1) walk
+    MCUs over the padded grid; single-component scans walk the
+    component's own block grid in raster order (T.81 A.2.2)."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    if len(comps_in) == 1:
+        k0 = comps_in[0]
+        sh, sv = sampling[k0]
+        cw = -(-fw * sh // hmax)
+        ch = -(-fh * sv // vmax)
+        bw = -(-cw // 8)
+        nunits = bw * -(-ch // 8)
+
+        def unit(u):
+            uy, ux = divmod(u, bw)
+            return ((k0, uy, ux),)
+    else:
+        nunits = mcux * mcuy
+
+        def unit(u):
+            my, mx = divmod(u, mcux)
+            res = []
+            for k in comps_in:
+                sh, sv = sampling[k]
+                for v in range(sv):
+                    for hh in range(sh):
+                        res.append((k, my * sv + v, mx * sh + hh))
+            return res
+
+    preds = {k: 0 for k in comps_in}
+    eob = [0]
+    bitbuf: list[int] = []
+    rst = 0
+    ac_tid0 = tids[comps_in[0]][1]
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            _emit_eobrun(out, ac_tid0, eob, bitbuf)
+            out.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            preds = {k: 0 for k in comps_in}
+        for (k, byy, bxx) in unit(u):
+            blk = coeffs[k][byy, bxx]
+            dc_tid, ac_tid = tids[k]
+            if ah > 0:
+                if ss == 0:
+                    out.write((int(blk[0]) >> al) & 1, 1)
+                else:
+                    _encode_refine_ac(out, blk, ac_tid, ss, se, al,
+                                      eob, bitbuf)
+            else:
+                if ss == 0:
+                    v = int(blk[0]) >> al
+                    size, bits = _magnitude(v - preds[k])
+                    preds[k] = v
+                    out.symbol(0, dc_tid, size)
+                    out.write(bits, size)
+                if se > 0:
+                    _encode_first_ac(out, blk, ac_tid, max(ss, 1), se, al,
+                                     eob, bitbuf)
+    _emit_eobrun(out, ac_tid0, eob, bitbuf)
+
+
+def _encode_progressive_scans(coeffs, sampling, fh: int, fw: int,
+                              mcux: int, mcuy: int, restart_interval: int,
+                              scans) -> bytes:
+    """Emit DHT + SOS + entropy data for each scan of the script. Each
+    scan is run twice: a counting pass to build optimal Huffman tables
+    for exactly its symbol population, then the emitting pass."""
+    out = bytearray()
+    for comps_in, ss, se, ah, al in scans:
+        # table slots: luma -> 0, chroma -> 1 (DC scans may interleave
+        # both); AC scans are single-component so slot 0 would do, but
+        # keeping the split mirrors the baseline layout
+        tids = {k: ((0 if k == 0 else 1), (0 if k == 0 else 1))
+                for k in comps_in}
+        counter = _CountingScanWriter()
+        _run_progressive_scan(counter, coeffs, sampling, mcux, mcuy,
+                              fh, fw, comps_in, ss, se, ah, al,
+                              restart_interval, tids)
+        codes = {}
+        for key in sorted(counter.freq):
+            bits, vals = _optimal_huffman(counter.freq[key])
+            out += _dht_segment(key[0], key[1], bits, vals)
+            codes[key] = _huff_codes(bits, vals)
+        emitter = _EmittingScanWriter(codes)
+        _run_progressive_scan(emitter, coeffs, sampling, mcux, mcuy,
+                              fh, fw, comps_in, ss, se, ah, al,
+                              restart_interval, tids)
+        sos = struct.pack(">HB", 6 + 2 * len(comps_in), len(comps_in))
+        for k in comps_in:
+            dc_tid, ac_tid = tids[k]
+            sos += struct.pack("BB", k + 1, (dc_tid << 4) | ac_tid)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + sos + emitter.flush()
+    return bytes(out)
+
+
+def _optimal_huffman(freq_map: dict[int, int]):
+    """Optimal length-limited (<=16 bit) Huffman table for one scan's
+    symbol frequencies — the classic JPEG encoder algorithm (T.81 Annex
+    K.2 flowcharts, as in the IJG encoder): pairwise merging with a
+    reserved 257th symbol so no real symbol gets the all-ones code, then
+    the BITS-adjustment loop to pull lengths down to 16. Returns
+    (bits[16], huffval) in DHT order."""
+    freq = [0] * 257
+    for sym, f in freq_map.items():
+        freq[sym] = f
+    freq[256] = 1  # reserved: claims the all-ones code point
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for s in range(257):
+            if freq[s] and (v is None or freq[s] <= v):
+                v = freq[s]
+                c1 = s
+        c2 = -1
+        v = None
+        for s in range(257):
+            if freq[s] and s != c1 and (v is None or freq[s] <= v):
+                v = freq[s]
+                c2 = s
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 64
+    for s in range(257):
+        if codesize[s]:
+            if codesize[s] >= 64:
+                raise ValueError("Huffman code length out of range")
+            bits[codesize[s]] += 1
+    for i in range(63, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's slot
+    vals = [s for _, s in sorted((codesize[s], s)
+                                 for s in range(256) if codesize[s])]
+    return bits[1:17], vals
 
 
 # ----------------------------------------------------------------- decoder
@@ -462,13 +863,17 @@ def _destuff(scan: bytes):
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG. Returns (H, W) uint8 for
-    single-component images, else (H, W, 3) uint8 RGB (JFIF YCbCr)."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2) JPEG.
+    Returns (H, W) uint8 for single-component images, else (H, W, 3)
+    uint8 RGB (JFIF YCbCr). Arithmetic coding, hierarchical/lossless
+    frames and 12-bit precision raise NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    store = None
+    nscans = 0
     restart = 0
     i = 2
     n = len(buf)
@@ -513,22 +918,32 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + cnt])
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+                "hmax": hmax, "vmax": vmax,
+                "mcux": -(-fw // (8 * hmax)),
+                "mcuy": -(-fh // (8 * vmax)),
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(only baseline sequential is implemented)"
+                "(only sequential and progressive DCT are implemented)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
@@ -540,72 +955,205 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scomp.append((cs, tables >> 4, tables & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if store is None:
+                store = [
+                    np.zeros(
+                        (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                        dtype=np.int64,
+                    )
+                    for c in frame["comps"]
+                ]
             intervals, used = _destuff(buf[i:])
             i += used
-            img = _decode_scan(frame, scomp, qts, huff, intervals, restart)
-            return img
+            _decode_scan_into(frame, store, scomp, huff, intervals,
+                              restart, ss, se, ah, al)
+            nscans += 1
         # else: APPn/COM/etc — skipped
-    raise ValueError("no SOS marker found")
+    if frame is None or nscans == 0:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(frame, store, qts)
 
 
-def _decode_scan(frame, scomp, qts, huff, intervals, restart):
-    fh, fw = frame["h"], frame["w"]
+def _first_block(reader, blk, dc_table, ac_table, pred, ss, se, al):
+    """Sequential / progressive-first decode of one block's [Ss, Se] band
+    (T.81 F.2.2 / G.2): DC diff when Ss==0, run-length AC symbols, with
+    decoded values shifted left by the point transform Al. Returns
+    (new DC predictor, remaining EOB run)."""
+    eobrun = 0
+    if ss == 0:
+        if dc_table is None:
+            raise ValueError("missing DC Huffman table")
+        s = reader.read_huff(dc_table)
+        pred += _extend(reader.read_bits(s), s)
+        blk[0] = pred << al
+        k = 1
+    else:
+        k = ss
+    if k <= se and ac_table is None:
+        raise ValueError("missing AC Huffman table")
+    while k <= se:
+        rs = reader.read_huff(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOB / EOBn: this block is done, r extra bits extend the run
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return pred, eobrun
+
+
+def _refine_ac_block(reader, blk, ac_table, ss, se, al, eobrun):
+    """Progressive AC refinement of one block (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±1<<Al; coefficients already nonzero
+    consume one correction bit each as the band is traversed — including
+    inside ZRL skips and EOB runs. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_units(frame, order):
+    """Data-unit sequence for a scan: interleaved scans (ns > 1) yield
+    one unit per MCU covering each component's h x v blocks; single-
+    component scans yield one unit per block, raster order over the
+    component's own non-MCU-padded block grid (T.81 A.2)."""
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
+    if len(order) == 1:
+        k0 = order[0]
+        c = comps[k0]
+        cw = -(-frame["w"] * c["h"] // frame["hmax"])
+        ch = -(-frame["h"] * c["v"] // frame["vmax"])
+        bw = -(-cw // 8)
+        nunits = bw * -(-ch // 8)
+
+        def unit(u):
+            uy, ux = divmod(u, bw)
+            return ((k0, uy, ux),)
+
+        return nunits, unit
+
+    mcux = frame["mcux"]
+
+    def unit(u):
+        my, mx = divmod(u, mcux)
+        res = []
+        for k in order:
+            c = comps[k]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    res.append((k, my * c["v"] + v, mx * c["h"] + hh))
+        return res
+
+    return frame["mcux"] * frame["mcuy"], unit
+
+
+def _decode_scan_into(frame, store, scomp, huff, intervals, restart,
+                      ss, se, ah, al):
+    """Decode one scan's entropy data into the persistent per-component
+    zigzag coefficient store."""
+    comps = frame["comps"]
     by_id = {c["id"]: k for k, c in enumerate(comps)}
     order = [by_id[cs] for cs, _, _ in scomp]
-    dc_t = {by_id[cs]: huff[(0, td)] for cs, td, _ in scomp}
-    ac_t = {by_id[cs]: huff[(1, ta)] for cs, _, ta in scomp}
+    dc_t = {by_id[cs]: huff.get((0, td)) for cs, td, _ in scomp}
+    ac_t = {by_id[cs]: huff.get((1, ta)) for cs, _, ta in scomp}
 
-    # coefficient storage: (blocks_y, blocks_x, 64) per component
-    store = []
-    for c in comps:
-        store.append(
-            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
-        )
+    if frame["progressive"]:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan cannot mix DC and AC")
+        if ss > 0 and len(order) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if ah and ah != al + 1:
+            raise ValueError("refinement must lower Al by exactly 1")
+    elif ss != 0 or se != 63 or ah != 0 or al != 0:
+        raise ValueError("invalid scan header for a sequential frame")
+    if ah > 0 and ss > 0 and any(ac_t[k] is None for k in order):
+        raise ValueError("missing AC Huffman table")
 
-    nmcu = mcux * mcuy
-    per_interval = restart if restart else nmcu
-    mcu = 0
+    nunits, unit = _scan_units(frame, order)
+    per_interval = restart if restart else nunits
+    u = 0
     for interval in intervals:
-        if mcu >= nmcu:
+        if u >= nunits:
             break
         reader = _BitReader(interval)
         preds = [0] * len(comps)
-        end = min(mcu + per_interval, nmcu)
-        while mcu < end:
-            my, mx = divmod(mcu, mcux)
-            for k in order:
-                c = comps[k]
-                for v in range(c["v"]):
-                    for hgrid in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        s = reader.read_huff(dc_t[k])
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[k] += diff
-                        blk[0] = preds[k]
-                        idx = 1
-                        while idx < 64:
-                            rs = reader.read_huff(ac_t[k])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    idx += 16
-                                    continue
-                                break  # EOB
-                            idx += r
-                            if idx > 63:
-                                raise ValueError("AC index overflow")
-                            blk[idx] = _extend(reader.read_bits(s), s)
-                            idx += 1
-                        store[k][my * c["v"] + v, mx * c["h"] + hgrid] = blk
-            mcu += 1
-    if mcu < nmcu:
+        eobrun = 0
+        end = min(u + per_interval, nunits)
+        while u < end:
+            for (k, byy, bxx) in unit(u):
+                blk = store[k][byy, bxx]
+                if ah > 0:
+                    if ss == 0:
+                        blk[0] |= reader.read_bit() << al
+                    else:
+                        eobrun = _refine_ac_block(
+                            reader, blk, ac_t[k], ss, se, al, eobrun
+                        )
+                elif ss > 0 and eobrun > 0:
+                    eobrun -= 1
+                else:
+                    preds[k], eobrun = _first_block(
+                        reader, blk, dc_t.get(k), ac_t.get(k),
+                        preds[k], ss, se, al,
+                    )
+            u += 1
+    if u < nunits:
         raise ValueError("truncated JPEG scan (missing MCUs)")
 
+
+def _reconstruct(frame, store, qts):
+    """Dequantize, IDCT and color-convert the accumulated coefficients."""
+    fh, fw = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for k, c in enumerate(comps):
         qt = qts[c["tq"]].astype(np.float64)

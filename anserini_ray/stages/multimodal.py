@@ -3,13 +3,15 @@ with typed metadata, processed by actor-pool map_batches stages.
 
 Decoder modes:
 - ``decoder="numpy"`` — REAL decoding for the formats the pure-stdlib
-  codecs cover (baseline JPEG — Huffman entropy decode + IDCT + chroma
+  codecs cover (baseline AND progressive JPEG — Huffman entropy decode
+  incl. spectral selection / successive approximation, IDCT + chroma
   upsampling, see stages/jpeg.py — PNG with all five scanline filters via
   zlib inflate + numpy unfilter, PPM/PGM, uncompressed 24-bit BMP images,
   RIFF PCM WAV audio; see stages/codecs.py): real pixels/samples, real
   bilinear resize, real audio windowing. Formats needing non-stdlib
-  coders (progressive JPEG, MP3, MP4) still raise NotImplementedError —
-  those libraries are absent in this environment (declared).
+  coders (MP3, MP4, arithmetic-coded or 12-bit JPEG) still raise
+  NotImplementedError — those libraries are absent in this environment
+  (declared).
 - ``decoder="fake"`` — deterministic stand-in (hash-seeded statistics) so
   the Ray-side plumbing — schema, batch sizing, actor signature, output
   layout — is testable for arbitrary media types.

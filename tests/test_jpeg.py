@@ -1,7 +1,9 @@
-"""Baseline JPEG codec (stages/jpeg.py): round trips across sampling /
-restart / quality configurations, spec-side checks of the DCT matrix and
-Huffman code assignment (independent of the codec's own code paths), and
-rejection of unsupported frame types."""
+"""JPEG codec (stages/jpeg.py): round trips across sampling / restart /
+quality configurations, progressive-vs-baseline pixel identity (same
+quantized coefficients through both entropy layouts), optimal-Huffman
+table properties, spec-side checks of the DCT matrix and Huffman code
+assignment (independent of the codec's own code paths), and rejection of
+unsupported frame types."""
 
 import numpy as np
 import pytest
@@ -131,15 +133,115 @@ def test_quality_ladder_monotone_size_and_error():
     assert errs[0] > errs[1] > errs[2]
 
 
+# ------------------------------------------------------------ progressive
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_progressive_decodes_identical_to_baseline(sub, restart):
+    # same quantized coefficients travel both entropy layouts, so the
+    # decoded pixels must match bit-for-bit — the strongest oracle the
+    # progressive path has without an external decoder in the sandbox
+    rng = np.random.default_rng(11)
+    imgs = [
+        _gradient(37, 53),
+        rng.integers(0, 256, (40, 56, 3)).astype(np.uint8),  # all symbols
+    ]
+    flat = np.full((64, 48, 3), 90, np.uint8)  # long EOB runs
+    flat[5, 7] = [255, 0, 0]
+    flat[50, 40] = [0, 255, 0]
+    imgs.append(flat)
+    for img in imgs:
+        base = J.encode_jpeg(img, quality=90, subsampling=sub,
+                             restart_interval=restart)
+        prog = J.encode_jpeg(img, quality=90, subsampling=sub,
+                             restart_interval=restart, progressive=True)
+        assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog
+        assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(prog))
+
+
+def test_progressive_grayscale_and_custom_scripts():
+    g = _gradient(24, 31)[:, :, 0]
+    base = J.decode_jpeg(J.encode_jpeg(g, quality=95))
+    assert np.array_equal(
+        base, J.decode_jpeg(J.encode_jpeg(g, quality=95, progressive=True))
+    )
+    # spectral-selection-only script (no successive approximation)
+    spectral = [((0,), 0, 0, 0, 0), ((0,), 1, 5, 0, 0), ((0,), 6, 63, 0, 0)]
+    assert np.array_equal(
+        base,
+        J.decode_jpeg(J.encode_jpeg(g, quality=95, progressive=True,
+                                    scan_script=spectral)),
+    )
+    # deep successive-approximation ladder exercises repeated refinement
+    deep = [
+        ((0,), 0, 0, 0, 3),
+        ((0,), 1, 63, 0, 3),
+        ((0,), 1, 63, 3, 2),
+        ((0,), 0, 0, 3, 2),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 1, 63, 1, 0),
+        ((0,), 0, 0, 1, 0),
+    ]
+    assert np.array_equal(
+        base,
+        J.decode_jpeg(J.encode_jpeg(g, quality=95, progressive=True,
+                                    scan_script=deep)),
+    )
+
+
+def test_progressive_rejects_bad_scan_scripts():
+    g = _gradient(16, 16)[:, :, 0]
+    bad = [
+        [((0,), 1, 63, 0, 0)],                         # AC before DC
+        [((0,), 0, 0, 0, 0)],                          # AC never sent
+        [((0,), 0, 0, 0, 1), ((0,), 1, 63, 0, 0)],     # DC never refined
+        [((0,), 0, 63, 0, 0)],                         # mixes DC and AC
+        [((0,), 0, 0, 0, 2), ((0,), 1, 63, 0, 0),
+         ((0,), 0, 0, 2, 0)],                          # Ah skips a level
+    ]
+    for script in bad:
+        with pytest.raises(ValueError):
+            J.encode_jpeg(g, progressive=True, scan_script=script)
+
+
+def test_optimal_huffman_tables_are_valid_and_decodable():
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        nsym = int(rng.integers(1, 60))
+        syms = rng.choice(256, size=nsym, replace=False)
+        freqs = {int(s): int(rng.integers(1, 10_000)) for s in syms}
+        bits, vals = J._optimal_huffman(freqs)
+        assert sum(bits) == len(vals) == len(freqs)
+        assert sorted(vals) == sorted(freqs)
+        codes = J._huff_codes(bits, vals)
+        # prefix-free with all lengths <= 16
+        seen = set()
+        for sym, (code, length) in codes.items():
+            assert 1 <= length <= 16
+            seen.add((code, length))
+            for other, (c2, l2) in codes.items():
+                if other != sym and l2 >= length:
+                    assert (c2 >> (l2 - length)) != code
+        assert len(seen) == len(codes)
+
+
 # ---------------------------------------------------------------- rejects
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_unsupported_frames_and_garbage():
     img = _gradient(16, 16)
     buf = bytearray(J.encode_jpeg(img))
     sof = buf.find(b"\xff\xc0")
-    buf[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(bytes(buf))
+    for sofn in (0xC3, 0xC9, 0xCB):  # lossless, arithmetic seq, arith prog
+        bad = bytearray(buf)
+        bad[sof + 1] = sofn
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(bytes(bad))
+    # SOF2 frame with a sequential-style (full-band) scan is invalid
+    bad = bytearray(buf)
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(bad))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x89PNG not a jpeg")
     # truncated entropy stream
@@ -159,10 +261,12 @@ def test_media_feature_extract_and_resize_accept_jpeg(ray_session):
     )
 
     img = _gradient(40, 56)
-    payload = J.encode_jpeg(img, quality=90)
     ds = ray.data.from_items(
-        [{"item_id": "j1", "payload": payload, "media_type": "image/jpeg",
-          "meta": "{}"}]
+        [{"item_id": "j1", "payload": J.encode_jpeg(img, quality=90),
+          "media_type": "image/jpeg", "meta": "{}"},
+         {"item_id": "j2",
+          "payload": J.encode_jpeg(img, quality=90, progressive=True),
+          "media_type": "image/jpeg", "meta": "{}"}]
     )
     feats = ds.map_batches(
         MediaFeatureExtract(decoder="numpy"),
@@ -171,6 +275,8 @@ def test_media_feature_extract_and_resize_accept_jpeg(ray_session):
     ).take_all()
     v = np.asarray(feats[0]["features"])
     assert v.shape == (128,) and abs(v.sum() - 1.0) < 1e-5
+    # identical pixels through either entropy layout -> identical features
+    assert np.array_equal(v, np.asarray(feats[1]["features"]))
 
     resized = ds.map_batches(
         ImageResize(target_w=24, target_h=16, decoder="numpy"),
