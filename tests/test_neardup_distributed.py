@@ -101,6 +101,42 @@ def test_ngram_jaccard_join_edge_docs(ray_session):
     assert all(r["jaccard"] == 1.0 for r in got)
 
 
+def test_simhash_batch_kernel_matches_scalar():
+    import numpy as np
+
+    from anserini_ray.stages.dedup import (
+        _simhash_key,
+        _simhash_keys_batch,
+        _simhash_tables,
+        simhash64,
+        simhash64_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "Repeated repeated REPEATED tokens tokens",
+        "unicode whitespace and\ttabs\nnewlines",
+        "single",
+        "  leading and trailing   ",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 40,
+    ]
+    fps = simhash64_batch(texts)
+    for t, fp in zip(texts, fps):
+        assert int(fp) == simhash64(((t or "").lower()).split())
+    tables, ranges = _simhash_tables(d=3)
+    vals = _simhash_keys_batch(fps, tables, ranges)
+    for tid, combo in tables:
+        for d in range(len(texts)):
+            assert int(vals[tid, d]) == _simhash_key(
+                int(fps[d]), combo, ranges
+            )
+    # all-empty batch
+    assert np.array_equal(simhash64_batch(["", None]),
+                          np.zeros(2, dtype=np.uint64))
+
+
 def test_simhash_verify_matches_bruteforce(ray_session):
     import ray.data
 
