@@ -8,10 +8,12 @@ Decoder modes:
   upsampling, see stages/jpeg.py — PNG with all five scanline filters via
   zlib inflate + numpy unfilter, PPM/PGM, uncompressed 24-bit BMP images,
   RIFF PCM WAV audio; see stages/codecs.py): real pixels/samples, real
-  bilinear resize, real audio windowing. Formats needing non-stdlib
-  coders (MP3, MP4, arithmetic-coded or 12-bit JPEG) still raise
-  NotImplementedError — those libraries are absent in this environment
-  (declared).
+  bilinear resize, real audio windowing. Container-level MP4/MP3
+  metadata and MP4 sample DEMUX are also real (stages/media_meta.py:
+  MediaMetadata stage, VideoFrameSample decoder="demux"). Only the
+  entropy DECODE of library-bound codecs (H.264/AAC/MP3 audio,
+  arithmetic-coded or 12-bit JPEG) still raises NotImplementedError —
+  those libraries are absent in this environment (declared).
 - ``decoder="fake"`` — deterministic stand-in (hash-seeded statistics) so
   the Ray-side plumbing — schema, batch sizing, actor signature, output
   layout — is testable for arbitrary media types.
@@ -273,27 +275,35 @@ class ImageResize:
 
 class VideoFrameSample:
     """Actor-pool stage with ONE->MANY fan-out: each video row emits one row
-    per sampled frame (item_id, frame_idx, payload, media_type="image/raw",
-    meta). Frame count comes from the meta JSON ("frames"); sampling takes
-    every `stride`-th frame up to `max_frames`. Fake decoder derives each
-    frame payload deterministically from (digest, frame_idx)."""
+    per sampled frame (item_id, frame_idx, payload, meta). Sampling takes
+    every `stride`-th frame up to `max_frames`.
+
+    decoder="demux" — REAL container demux for ISO-BMFF (MP4/MOV)
+    payloads via stages/media_meta.mp4_sample_table: the emitted payload
+    is the frame's actual encoded sample bytes straight out of mdat
+    (media_type "video/sample"), frame count from the sample tables.
+    Decoding those samples (H.264 etc.) stays library-bound (declared).
+    decoder="fake" — deterministic stand-in (digest of payload+idx), frame
+    count from the meta JSON ("frames")."""
 
     def __init__(self, stride: int = 10, max_frames: int = 16,
                  decoder: str = "fake"):
+        if decoder not in ("fake", "demux"):
+            raise NotImplementedError(
+                "real frame DECODE requires a video library not present in "
+                "this environment; use decoder='demux' for container-level "
+                "sample extraction or 'fake' for plumbing tests"
+            )
         self.stride = stride
         self.max_frames = max_frames
         self.decoder = decoder
 
     def _frame(self, payload: bytes, idx: int) -> bytes:
-        if self.decoder != "fake":
-            raise NotImplementedError(
-                "real frame extraction requires a video library not present "
-                "in this environment; plug a decoder in here"
-            )
         return hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, payloads, metas = [], [], [], []
+        out_mt = "image/raw" if self.decoder == "fake" else "video/sample"
         for iid, p, mt, meta in zip(
             batch["item_id"].to_pylist(),
             batch["payload"].to_pylist(),
@@ -302,14 +312,25 @@ class VideoFrameSample:
         ):
             if not mt.startswith("video/"):
                 continue
-            n_frames = int(json.loads(meta or "{}").get("frames", 0))
+            if self.decoder == "demux":
+                from anserini_ray.stages.media_meta import mp4_sample_table
+
+                offsets, sizes = mp4_sample_table(p, kind="video")
+                n_frames = len(offsets)
+            else:
+                n_frames = int(json.loads(meta or "{}").get("frames", 0))
             taken = 0
             for f in range(0, n_frames, self.stride):
                 if taken >= self.max_frames:
                     break
                 ids.append(iid)
                 fidx.append(f)
-                payloads.append(self._frame(p, f))
+                if self.decoder == "demux":
+                    payloads.append(
+                        p[int(offsets[f]) : int(offsets[f]) + int(sizes[f])]
+                    )
+                else:
+                    payloads.append(self._frame(p, f))
                 metas.append(meta)
                 taken += 1
         return pa.Table.from_arrays(
@@ -317,7 +338,7 @@ class VideoFrameSample:
                 pa.array(ids, type=pa.int64()),
                 pa.array(fidx, type=pa.int32()),
                 pa.array(payloads, type=pa.large_binary()),
-                pa.array(["image/raw"] * len(ids)),
+                pa.array([out_mt] * len(ids)),
                 pa.array(metas),
             ],
             names=["item_id", "frame_idx", "payload", "media_type", "meta"],
