@@ -434,6 +434,17 @@ def probe_media(payload: bytes) -> dict:
                    channels=info["channels"], n_units=info["frames"],
                    bitrate_kbps=info["bitrate_kbps"])
         return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_info
+
+        try:
+            info = gif_info(payload)
+        except ValueError:
+            return out
+        out.update(kind="image", container="gif", codec="gif",
+                   width=info["width"], height=info["height"],
+                   n_units=info["frames"])
+        return out
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack_from(">II", payload, 16)
         out.update(kind="image", container="png", codec="png",

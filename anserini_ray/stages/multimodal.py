@@ -132,6 +132,16 @@ class MediaFeatureExtract:
                     gray, bins=self.feature_dim, range=(0, 256)
                 )
                 return (hist / max(1, gray.size)).astype(np.float32)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from .gif import decode_gif
+
+                img = decode_gif(payload)
+                hist, _ = np.histogram(
+                    img.mean(axis=2), bins=self.feature_dim, range=(0, 256)
+                )
+                return (hist / max(1, img.shape[0] * img.shape[1])).astype(
+                    np.float32
+                )
             if payload[:4] == b"RIFF":
                 samples, _sr = codecs.decode_wav(payload)
                 if samples.ndim > 1:
@@ -234,8 +244,19 @@ class ImageResize:
                 return jpeg.encode_jpeg(
                     codecs.resize_bilinear(img, self.h, self.w)
                 )
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from . import gif
+
+                img = gif.decode_gif(payload)
+                resized = codecs.resize_bilinear(img, self.h, self.w)
+                try:
+                    return gif.encode_gif(resized)
+                except ValueError:
+                    # bilinear blending can exceed 256 colors; PNG keeps
+                    # the payload lossless without a quantizer
+                    return codecs.encode_png(resized)
             raise NotImplementedError(
-                "numpy resize covers PPM/PGM, PNG, baseline JPEG and "
+                "numpy resize covers PPM/PGM, PNG, GIF, JPEG and "
                 "24-bit BMP payloads"
             )
         if self.decoder != "fake":
