@@ -1161,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": TD.fingerprints,
         "minhash_dedup": TD.minhash_dedup,
         "ngram_jaccard_pairs": TD.ngram_jaccard_pairs,
+        "duplicate_spans": TD.duplicate_spans,
         "embedding_near_dup": TD.embedding_near_dup,
         "decontaminate": TD.decontaminate,
         "hash_split": TD.hash_split,
@@ -1230,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": TD.FINGERPRINTS_SQL,
         "minhash_dedup": TD.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": TD.NGRAM_JACCARD_SQL,
+        "duplicate_spans": TD.DUPLICATE_SPANS_SQL,
         "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
         # round-3 oracle flips
         "decontaminate": TD.DECONTAMINATE_SQL,

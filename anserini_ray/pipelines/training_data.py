@@ -440,6 +440,55 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def duplicate_spans(sf_dir: str, n: int = 8):
+    """Exact duplicate-substring spans (Lee et al. ACL 2022 style):
+    maximal per-doc token spans covered by n-grams occurring >= 2 times
+    anywhere in the corpus. See stages/dedup.py duplicate_ngram_spans."""
+    return D.duplicate_ngram_spans(_docs(sf_dir, ["doc_id", "text"]), n=n)
+
+
+def _duplicate_spans_sql(n: int = 8) -> str:
+    """DuckDB mirror of duplicate_ngram_spans: positions of duplicated
+    n-grams (grouped on the gram STRING — the Ray side's 64-bit gram
+    hash is equivalent modulo vanishing collisions), merged by the
+    gaps-and-islands rule `pos - lag(pos) <= n`."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, {gram} AS gram
+      FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {n} + 2)) AS i
+            FROM toks)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    cov AS (SELECT doc_id, pos FROM g
+            WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {n}
+                  THEN 0 ELSE 1 END AS brk
+      FROM cov
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, min(pos) AS start_tok, max(pos) + {n} AS end_tok,
+           count(*) AS n_grams
+    FROM isl2 GROUP BY doc_id, island
+    """
+
+
+DUPLICATE_SPANS_SQL = _duplicate_spans_sql(8)
+
+
 # Exact 3-gram-shingle Jaccard over all pairs — the DuckDB mirror of
 # word_shingles + ngram_jaccard (stages/dedup.py).
 MINHASH_DEDUP_SQL = """

@@ -1017,6 +1017,176 @@ def simhash64_batch(texts) -> np.ndarray:
     )
 
 
+def _gram_hash_positions(texts, n: int):
+    """Per-doc rolling n-gram hashes WITH token positions: (H uint64,
+    doc_idx int64, pos int64), pos = index among the doc's kept tokens.
+    Docs shorter than n emit nothing (duplicate-substring semantics —
+    no whole-doc fallback, unlike word_shingles). Tokenization and
+    token hashing match _shingle_hash_arrays (Arrow lower+split, md5
+    per distinct token via the worker memo)."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ndocs = len(lens)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    doc_idx = doc_idx[keep_np]
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_pylist()
+    memo = _TOKEN_HASH_MEMO
+    vh = np.empty(len(vocab), dtype=np.uint64)
+    for i, tkn in enumerate(vocab):
+        h = memo.get(tkn)
+        if h is None:
+            h = _md5_64(tkn) & 0xFFFFFFFFFFFFFFFF
+            if len(memo) < _TOKEN_HASH_MEMO_CAP:
+                memo[tkn] = h
+        vh[i] = h
+    ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = vh[ids]
+    L = th.size
+    m = max(L - n + 1, 0)
+    if m == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    with np.errstate(over="ignore"):
+        h = th[:m].copy()
+        for j in range(1, n):
+            h *= _MIX64
+            h ^= th[j : j + m]
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    tk = np.bincount(doc_idx, minlength=ndocs)
+    starts = np.concatenate([[0], np.cumsum(tk)])[:-1]
+    gidx = np.arange(m, dtype=np.int64)[valid]
+    d = doc_idx[:m][valid]
+    return h[valid], d, gidx - starts[d]
+
+
+def duplicate_ngram_spans(ds, n: int = 8, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Exact duplicate-substring spans — the exact-substring dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed for Ray Data without a monolithic
+    suffix array: a token position is covered when its n-gram occurs
+    >= 2 times in the corpus (any document, including self-repeats);
+    overlapping or adjacent covered windows merge into maximal per-doc
+    spans. Returns (id_col, start_tok, end_tok exclusive, n_grams).
+
+    Plan (two shuffles, both key-partitioned):
+      1. map-only vectorized gram emission (rolling 64-bit mixes of
+         memoized md5 token hashes, positions by bincount offsets);
+      2. duplicated grams via the vectorized hash aggregate; the dup-key
+         set is broadcast once (ray.put) and emissions filter map-side —
+         at trillion-gram scale swap this for a hash-partitioned
+         semi-join (the near-dup verify path's join machinery);
+      3. covered positions hash-partition on the doc key; each of the
+         <= 32 partitions builds ALL its spans vectorized (lexsort +
+         run-boundary detection), no per-doc Python.
+    64-bit gram-hash collisions can only over-mark a position as
+    covered (conservative for dedup); exact-match oracles hold at test
+    scale."""
+    from .hashagg import hash_aggregate, vectorized_key_hash
+
+    def emit(batch: pa.Table) -> pa.Table:
+        H, D, P = _gram_hash_positions(batch[text_col], n)
+        ids = batch[id_col].combine_chunks().take(pa.array(D))
+        return pa.Table.from_arrays(
+            [pa.array(H.view(np.int64)), ids, pa.array(P)],
+            names=["gram", id_col, "pos"],
+        )
+
+    # materialized once: feeds BOTH the count aggregate and the covered
+    # filter (the double-execution lesson from write_termstats)
+    rows = ds.map_batches(emit, batch_format="pyarrow").materialize()
+    counts = hash_aggregate(
+        rows, keys=["gram"], aggs=[("count", None)], out_names=["c"]
+    )
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c"], 1)).select(["gram"])
+
+    blocks = [
+        t for t in ray.get(
+            counts.map_batches(dup_only, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if t.num_rows
+    ]
+    id_type = _arrow_schema(rows).field(id_col).type
+    empty = pa.Table.from_arrays(
+        [
+            pa.array([], type=id_type),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.int64()),
+        ],
+        names=[id_col, "start_tok", "end_tok", "n_grams"],
+    )
+    if not blocks:
+        return ray.data.from_arrow(empty)
+    key_ref = ray.put(pa.concat_tables(blocks)["gram"].combine_chunks())
+
+    def covered(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["gram"], value_set=ray.get(key_ref))
+        ).select([id_col, "pos"])
+
+    nparts = max(2, min(int(ray.cluster_resources().get("CPU", 8)), 32))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part",
+            pa.array(
+                vectorized_key_hash(t, [id_col], nparts).astype(np.int64)
+            ),
+        )
+
+    def build_spans(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        ids = part[id_col].combine_chunks()
+        pos = part["pos"].to_numpy(zero_copy_only=False)
+        enc = ids.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        did = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, did))
+        did_s, pos_s = did[order], pos[order]
+        brk = np.ones(order.size, dtype=bool)
+        if order.size > 1:
+            # same doc AND windows [p, p+n) overlap or touch -> merge
+            brk[1:] = ~(
+                (did_s[1:] == did_s[:-1])
+                & ((pos_s[1:] - pos_s[:-1]) <= n)
+            )
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [order.size]])
+        out_ids = enc.dictionary.take(pa.array(did_s[starts]))
+        return pa.Table.from_arrays(
+            [
+                out_ids,
+                pa.array(pos_s[starts]),
+                pa.array(pos_s[ends - 1] + n),
+                pa.array((ends - starts).astype(np.int64)),
+            ],
+            names=[id_col, "start_tok", "end_tok", "n_grams"],
+        )
+
+    return (
+        rows.map_batches(covered, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(build_spans, batch_format="pyarrow")
+    )
+
+
 def _simhash_keys_batch(fps: np.ndarray, tables, ranges) -> np.ndarray:
     """(n_tables, n_docs) uint64 Manku block keys, vectorized shifts of
     the fingerprint vector (same bits as per-doc _simhash_key)."""

@@ -282,3 +282,78 @@ def test_verify_paths_agree_above_broadcast_cap(ray_session, monkeypatch):
     monkeypatch.undo()
     b2 = vpairs(A.embedding_cosine_near_dup(eds, threshold=0.999))
     assert b2 and j2 == b2
+
+
+def test_duplicate_ngram_spans_semantics(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import duplicate_ngram_spans
+
+    shared = "alpha bravo charlie delta"  # 4 tokens, n=3 -> 2 grams
+    rows = [
+        # cross-doc duplicate phrase at different offsets
+        {"doc_id": 1, "text": f"one two {shared} tail1 x y z"},
+        {"doc_id": 2, "text": f"{shared} something entirely different here"},
+        # within-doc repeat: the SAME doc contributes both occurrences
+        {"doc_id": 3, "text": "p q r s t p q r s t"},
+        # no duplicated grams at all
+        {"doc_id": 4, "text": "unique tokens only appear once ever here"},
+        # shorter than n: emits nothing
+        {"doc_id": 5, "text": "tiny doc"},
+        {"doc_id": 6, "text": ""},
+    ]
+    got = duplicate_ngram_spans(
+        ray.data.from_items(rows), n=3
+    ).to_pandas()
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_grams)
+        for r in got.itertuples()
+    }
+    # doc1: shared grams at token 2,3 -> merged span [2, 6), 2 grams
+    # doc2: shared grams at token 0,1 -> span [0, 4)
+    # doc3: tokens p q r s t p q r s t; duplicated 3-grams pqr/qrs/rst at
+    #       positions 0,1,2 and 5,6,7 (stp/tpq unique). Window [2,5) ends
+    #       where [5,8) starts -> they TOUCH, so everything merges into
+    #       one span [0, 10) covering 6 grams
+    assert spans == {
+        (1, 2, 6, 2), (2, 0, 4, 2), (3, 0, 10, 6),
+    }
+
+
+def test_duplicate_ngram_spans_empty_and_adjacent_merge(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.dedup import duplicate_ngram_spans
+
+    # gap of exactly n merges (windows touch); gap of n+1 splits
+    a = "c1 c2 c3 g1 g2 c1 c2 c3"          # dup grams at 0 and 5 (n=3)
+    b = "c1 c2 c3 g1 g2 g3 c1 c2 c3"       # dup grams at 0 and 6
+    got = duplicate_ngram_spans(
+        ray.data.from_items(
+            [{"doc_id": 10, "text": a}, {"doc_id": 11, "text": b},
+             {"doc_id": 12, "text": a}, {"doc_id": 13, "text": b}]
+        ),
+        n=3,
+    ).to_pandas()
+    by_doc = {
+        d: sorted(
+            (r.start_tok, r.end_tok)
+            for r in got[got.doc_id == d].itertuples()
+        )
+        for d in (10, 11)
+    }
+    # doc a: positions 0 and 5 (plus cross-doc full-text dup with doc 12
+    # making EVERY gram duplicated): all 6 grams covered -> one span [0, 8)
+    assert by_doc[10] == [(0, 8)]
+    assert by_doc[11] == [(0, 9)]
+
+    # all-unique corpus -> empty result (Ray drops schema on 0-row
+    # datasets — same documented quirk as dup_bucket_groups)
+    empty = duplicate_ngram_spans(
+        ray.data.from_items(
+            [{"doc_id": 1, "text": "a b c d e"},
+             {"doc_id": 2, "text": "f g h i j"}]
+        ),
+        n=3,
+    ).take_all()
+    assert empty == []
