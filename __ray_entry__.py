@@ -1162,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": TD.minhash_dedup,
         "ngram_jaccard_pairs": TD.ngram_jaccard_pairs,
         "duplicate_spans": TD.duplicate_spans,
+        "media_probe": TD.media_probe,
         "embedding_near_dup": TD.embedding_near_dup,
         "decontaminate": TD.decontaminate,
         "hash_split": TD.hash_split,
@@ -1232,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": TD.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": TD.NGRAM_JACCARD_SQL,
         "duplicate_spans": TD.DUPLICATE_SPANS_SQL,
+        "media_probe": TD.MEDIA_PROBE_SQL,
         "embedding_near_dup": TD.EMBEDDING_NEAR_DUP_SQL,
         # round-3 oracle flips
         "decontaminate": TD.DECONTAMINATE_SQL,
