@@ -8,7 +8,7 @@
       [-bm25 [-bm25.k1 K] [-bm25.b B] | -qld | -qljm | -inl2 | -spl | -f2exp | -f2log] \\
       [-rm3] [-bm25prf] [-sdm] [-hits N] [-skipexists]
   python -m anserini_ray.cli dedup  -input <parquet> -output <dir> \
-      -method {exact,minhash,simhash} [-threshold J]
+      -method {exact,minhash,simhash,jaccard,spans} [-threshold J] [-n N]
   python -m anserini_ray.cli split  -input <parquet> -output <dir> \
       [-weights 80,10,10]
   python -m anserini_ray.cli transform -input <parquet|dir> -output <dir> \
@@ -16,6 +16,9 @@
       (resumable: one partition per input shard; re-run skips finished)
   python -m anserini_ray.cli optimize -index <dir> [-segments 0,3,7]
       (standalone force-merge of posting runs; bit-identical results)
+  python -m anserini_ray.cli media -input <parquet|dir> -output <dir> \
+      [-idCol item_id] [-payloadCol payload]
+      (header-only metadata: kind/codec/dims/duration per payload)
 
 (Reference analogs: `IndexCollection.main` args at IndexArgs.java,
 `SearchCollection.main` args at SearchArgs.java.) The CLI owns the Ray
@@ -293,10 +296,13 @@ def cmd_dedup(argv) -> int:
     p.add_argument("-input", required=True, help="parquet file/dir")
     p.add_argument("-output", required=True, help="output parquet dir")
     p.add_argument("-method", default="exact",
-                   choices=["exact", "minhash", "simhash"])
+                   choices=["exact", "minhash", "simhash", "jaccard",
+                            "spans"])
     p.add_argument("-idCol", default="doc_id")
     p.add_argument("-textCol", default="text")
     p.add_argument("-threshold", type=float, default=0.7)
+    p.add_argument("-n", type=int, default=8,
+                   help="n-gram length for -method spans")
     p.add_argument("-threads", type=int, default=None)
     a = p.parse_args(argv)
     _init_ray(a.threads)
@@ -311,6 +317,14 @@ def cmd_dedup(argv) -> int:
         out = D.minhash_lsh_dedup(
             ds, text_col=a.textCol, id_col=a.idCol,
             threshold=a.threshold, verify=True,
+        )
+    elif a.method == "jaccard":
+        out = D.ngram_jaccard_join(
+            ds, text_col=a.textCol, id_col=a.idCol, threshold=a.threshold
+        )
+    elif a.method == "spans":
+        out = D.duplicate_ngram_spans(
+            ds, n=a.n, text_col=a.textCol, id_col=a.idCol
         )
     else:
         out = D.simhash_dedup(
@@ -410,9 +424,42 @@ def cmd_transform(argv) -> int:
     return 0
 
 
+def cmd_media(argv) -> int:
+    """Header-only media metadata over a parquet table with an item id and
+    a binary payload column (stages/media_meta.py MediaMetadata)."""
+    p = argparse.ArgumentParser(prog="anserini_ray media")
+    p.add_argument("-input", required=True, help="parquet file/dir")
+    p.add_argument("-output", required=True, help="output parquet dir")
+    p.add_argument("-idCol", default="item_id")
+    p.add_argument("-payloadCol", default="payload")
+    p.add_argument("-threads", type=int, default=None)
+    a = p.parse_args(argv)
+    _init_ray(a.threads)
+    import pyarrow as _pa
+
+    import ray.data
+
+    from .stages.media_meta import MediaMetadata
+
+    ds = ray.data.read_parquet(a.input, columns=[a.idCol, a.payloadCol])
+    id_col, payload_col = a.idCol, a.payloadCol
+
+    def normalize(t: _pa.Table) -> _pa.Table:
+        return _pa.Table.from_arrays(
+            [t[id_col], t[payload_col]], names=["item_id", "payload"]
+        )
+
+    (
+        ds.map_batches(normalize, batch_format="pyarrow")
+        .map_batches(MediaMetadata(), batch_format="pyarrow")
+        .write_parquet(a.output)
+    )
+    return 0
+
+
 _COMMANDS = {
     "index": None, "search": None, "dedup": None, "split": None,
-    "transform": None, "optimize": None,
+    "transform": None, "optimize": None, "media": None,
 }
 
 
@@ -430,6 +477,8 @@ def main() -> int:
         return cmd_transform(sys.argv[2:])
     if sys.argv[1] == "optimize":
         return cmd_optimize(sys.argv[2:])
+    if sys.argv[1] == "media":
+        return cmd_media(sys.argv[2:])
     return cmd_search(sys.argv[2:])
 
 
