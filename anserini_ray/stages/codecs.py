@@ -23,10 +23,37 @@ Formats outside this set still raise NotImplementedError in the stages
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+# corrupt-input allocation guard shared by the image decoders: a flipped
+# dimension field must produce ValueError, not a multi-GB allocation
+MAX_PIXELS = 1 << 28
+
+
+def _decode_guard(fn):
+    """Corrupt payloads are routine at corpus scale: decoders must fail
+    with ValueError (or NotImplementedError for declared-unsupported
+    features), never leak struct.error / zlib.error / IndexError — an
+    unexpected exception type kills the decoding actor's batch."""
+
+    @functools.wraps(fn)
+    def wrapped(buf, *a, **k):
+        try:
+            return fn(buf, *a, **k)
+        except (ValueError, NotImplementedError):
+            raise
+        except (struct.error, zlib.error, IndexError, KeyError,
+                OverflowError, TypeError) as e:
+            raise ValueError(
+                f"corrupt payload in {fn.__name__} ({type(e).__name__})"
+            ) from e
+
+    return wrapped
+
 
 # ------------------------------------------------------------------ PPM/PGM
 
@@ -69,6 +96,7 @@ def _ppm_header(buf: bytes):
     return magic, w, h, i
 
 
+@_decode_guard
 def decode_ppm(buf: bytes) -> np.ndarray:
     """Binary P6 -> (h, w, 3) uint8; P5 -> (h, w) uint8."""
     magic, w, h, off = _ppm_header(buf)
@@ -80,6 +108,7 @@ def decode_ppm(buf: bytes) -> np.ndarray:
 # --------------------------------------------------------------------- BMP
 
 
+@_decode_guard
 def decode_bmp(buf: bytes) -> np.ndarray:
     """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB.
 
@@ -98,6 +127,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raise ValueError("only uncompressed 24-bit BI_RGB supported")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError("invalid BMP dimensions")
     row_bytes = (w * 3 + 3) & ~3
     out = np.empty((h, w, 3), dtype=np.uint8)
     for r in range(h):
@@ -187,6 +218,7 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@_decode_guard
 def decode_png(buf: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG -> uint8 array: (h, w) gray, (h, w, 2)
     gray+alpha, (h, w, 3) RGB (palette expands to this), or (h, w, 4) RGBA.
@@ -330,6 +362,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     )
 
 
+@_decode_guard
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """RIFF PCM WAV -> (samples float32 in [-1, 1] shaped (n,) or (n, ch),
     sample_rate). Walks chunks, so extra chunks (LIST etc.) are fine."""

@@ -168,13 +168,29 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+MAX_PIXELS = 1 << 28  # flipped dimension bytes must not become GB allocs
+
+
 def decode_gif(buf: bytes) -> np.ndarray:
     """Decode the FIRST image of a GIF into (H, W, 3) uint8 RGB on the
     logical screen (background-filled; transparent pixels keep the
-    background color)."""
-    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+    background color). Malformed streams raise ValueError (corrupt
+    payloads are routine at corpus scale; the decoding actor must see a
+    catchable, expected exception type)."""
+    try:
+        return _decode_gif(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"corrupt GIF stream ({type(e).__name__})") from e
+
+
+def _decode_gif(buf: bytes) -> np.ndarray:
+    if buf[:6] not in (b"GIF87a", b"GIF89a") or len(buf) < 13:
         raise ValueError("not a GIF")
     sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    if sw < 1 or sh < 1 or sw * sh > MAX_PIXELS:
+        raise ValueError("invalid GIF screen dimensions")
     i = 13
     gct = None
     if packed & 0x80:
@@ -204,6 +220,9 @@ def decode_gif(buf: bytes) -> np.ndarray:
         # image descriptor
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, i)
         i += 9
+        if w < 1 or h < 1 or w * h > MAX_PIXELS or left + w > sw or \
+                top + h > sh:
+            raise ValueError("invalid GIF image descriptor")
         ct = gct
         if ipacked & 0x80:
             lsize = 2 << (ipacked & 0x07)
@@ -234,7 +253,7 @@ def decode_gif(buf: bytes) -> np.ndarray:
 def gif_info(buf: bytes) -> dict:
     """Header-only walk: dimensions, version, frame count (skips LZW
     payload bytes without decoding them)."""
-    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+    if buf[:6] not in (b"GIF87a", b"GIF89a") or len(buf) < 13:
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
     i = 13
@@ -252,6 +271,8 @@ def gif_info(buf: bytes) -> dict:
             _, i = _sub_blocks(buf, i)
             continue
         if b != 0x2C:
+            break
+        if i + 9 > n:
             break
         ipacked = buf[i + 8]
         i += 9

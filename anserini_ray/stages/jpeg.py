@@ -862,11 +862,31 @@ def _destuff(scan: bytes):
     return intervals, i
 
 
+# corrupt-input allocation guard: a bit-flipped dimension or sampling
+# byte must produce ValueError, not a multi-GB coefficient store
+MAX_PIXELS = 1 << 28
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline-sequential (SOF0/1) or progressive (SOF2) JPEG.
     Returns (H, W) uint8 for single-component images, else (H, W, 3)
     uint8 RGB (JFIF YCbCr). Arithmetic coding, hierarchical/lossless
-    frames and 12-bit precision raise NotImplementedError."""
+    frames and 12-bit precision raise NotImplementedError; any malformed
+    stream raises ValueError (never IndexError/KeyError/struct.error —
+    corrupt payloads are routine in a large media corpus and must not
+    kill the decoding actor with an unexpected exception type)."""
+    try:
+        return _decode_jpeg(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError, AttributeError) as e:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(e).__name__})"
+        ) from e
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -930,6 +950,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
+            if not comps or fh < 1 or fw < 1:
+                raise ValueError("invalid JPEG frame header")
+            if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4)
+                   for c in comps):
+                raise ValueError("invalid JPEG sampling factors")
+            if fh * fw > MAX_PIXELS:
+                raise ValueError("JPEG dimensions exceed decoder cap")
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             frame = {
@@ -986,6 +1013,8 @@ def _first_block(reader, blk, dc_table, ac_table, pred, ss, se, al):
         if dc_table is None:
             raise ValueError("missing DC Huffman table")
         s = reader.read_huff(dc_table)
+        if s > 15:
+            raise ValueError("invalid DC magnitude category")
         pred += _extend(reader.read_bits(s), s)
         blk[0] = pred << al
         k = 1

@@ -205,6 +205,8 @@ def mp4_sample_table(buf: bytes, kind: str | None = None):
     p, q = spans["stsz"]
     _, fp = _fullbox(buf, p)
     fixed_size, n_samples = struct.unpack_from(">II", buf, fp)
+    if n_samples > (1 << 28):  # corrupt count must not become a GB alloc
+        raise ValueError("implausible MP4 sample count")
     if fixed_size:
         sizes = np.full(n_samples, fixed_size, dtype=np.int64)
     else:
@@ -234,12 +236,15 @@ def mp4_sample_table(buf: bytes, kind: str | None = None):
         buf, dtype=">u4", count=3 * n_runs, offset=fp + 4
     ).reshape(-1, 3).astype(np.int64)  # (first_chunk 1-based, spc, desc)
 
-    # expand stsc runs to a per-chunk samples-per-chunk vector
-    spc = np.empty(n_chunks, dtype=np.int64)
+    # expand stsc runs to a per-chunk samples-per-chunk vector (zeros, not
+    # empty: a corrupt stsc that skips chunks must not read garbage)
+    spc = np.zeros(n_chunks, dtype=np.int64)
     for i in range(n_runs):
         first = runs[i, 0] - 1
         last = runs[i + 1, 0] - 1 if i + 1 < n_runs else n_chunks
         spc[first:last] = runs[i, 1]
+    if spc.min(initial=0) < 0 or int(spc.sum()) > (1 << 30):
+        raise ValueError("implausible MP4 chunk layout")
     # the stsz sample count is authoritative; the final chunk may hold
     # fewer samples than its stsc run claims (14496-12 s8.7.4)
     n = min(sizes.size, int(spc.sum()))
@@ -380,12 +385,21 @@ def _jpeg_dims(buf: bytes):
 def probe_media(payload: bytes) -> dict:
     """Magic-dispatch header-only metadata for one payload. Normalized
     keys: kind, container, codec, width, height, duration_s, sample_rate,
-    channels, n_units (samples/frames), bitrate_kbps."""
+    channels, n_units (samples/frames), bitrate_kbps. NEVER raises:
+    corrupt or truncated payloads (routine at corpus scale) return the
+    all-null dict — a probe is best-effort by contract."""
     out = {
         "kind": None, "container": None, "codec": None, "width": None,
         "height": None, "duration_s": None, "sample_rate": None,
         "channels": None, "n_units": None, "bitrate_kbps": None,
     }
+    try:
+        return _probe_media(payload, out)
+    except Exception:
+        return out
+
+
+def _probe_media(payload: bytes, out: dict) -> dict:
     if len(payload) < 8:
         return out
     if payload[4:8] == b"ftyp":
