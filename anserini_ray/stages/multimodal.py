@@ -86,7 +86,9 @@ class MediaFeatureExtract:
     payloads (batch_bytes ≈ payload_size × batch_size × concurrency must fit
     the worker heap)."""
 
-    def __init__(self, decoder: str = "fake", feature_dim: int = 128):
+    def __init__(self, decoder: str = "fake", feature_dim: int = 128,
+                 on_error: str = "raise"):
+        self.on_error = on_error
         self.decoder = decoder
         self.feature_dim = feature_dim
 
@@ -169,18 +171,38 @@ class MediaFeatureExtract:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
-        feats = np.stack(
-            [self._decode(p, t)[: self.feature_dim] for p, t in zip(payloads, types)]
-        )
+        rows: list[np.ndarray] = []
+        keep: list[int] = []
+        for i, (p, t) in enumerate(zip(payloads, types)):
+            try:
+                rows.append(self._decode(p, t)[: self.feature_dim])
+                keep.append(i)
+            except (ValueError, NotImplementedError):
+                # on_error="skip": corrupt/unsupported payloads are routine
+                # at corpus scale — drop the row instead of failing (and
+                # re-failing on retry) the whole batch
+                if self.on_error != "skip":
+                    raise
+        n = len(keep)
         off = pa.array(
-            np.arange(0, (len(payloads) + 1) * self.feature_dim, self.feature_dim,
+            np.arange(0, (n + 1) * self.feature_dim, self.feature_dim,
                       dtype=np.int32)
         )
         feat_col = pa.ListArray.from_arrays(
-            off, pa.array(feats.reshape(-1), type=pa.float32())
+            off,
+            pa.array(
+                np.stack(rows).reshape(-1) if rows
+                else np.empty(0, dtype=np.float32),
+                type=pa.float32(),
+            ),
         )
+        idx = pa.array(np.asarray(keep, dtype=np.int64))
         return pa.Table.from_arrays(
-            [batch["item_id"], batch["media_type"], feat_col],
+            [
+                batch["item_id"].take(idx),
+                batch["media_type"].take(idx),
+                feat_col,
+            ],
             names=["item_id", "media_type", "features"],
         )
 
@@ -213,10 +235,11 @@ class ImageResize:
     plumbing: metadata propagation + output sizing)."""
 
     def __init__(self, target_w: int = 224, target_h: int = 224,
-                 decoder: str = "fake"):
+                 decoder: str = "fake", on_error: str = "raise"):
         self.w = target_w
         self.h = target_h
         self.decoder = decoder
+        self.on_error = on_error
 
     def _resize(self, payload: bytes) -> bytes:
         if self.decoder == "numpy":
@@ -269,26 +292,37 @@ class ImageResize:
         return (seed * reps)[: self.w * self.h]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_payload, out_meta = [], []
-        for p, mt, meta in zip(
+        out_payload, out_meta, keep = [], [], []
+        for i, (p, mt, meta) in enumerate(zip(
             batch["payload"].to_pylist(),
             batch["media_type"].to_pylist(),
             batch["meta"].to_pylist(),
-        ):
+        )):
             if not mt.startswith("image/"):
                 out_payload.append(p)  # pass-through for non-images
                 out_meta.append(meta)
+                keep.append(i)
                 continue
-            out_payload.append(self._resize(p))
+            try:
+                resized = self._resize(p)
+            except (ValueError, NotImplementedError):
+                # on_error="skip": drop corrupt/unsupported rows instead
+                # of failing the whole batch (routine at corpus scale)
+                if self.on_error != "skip":
+                    raise
+                continue
+            out_payload.append(resized)
             m = json.loads(meta or "{}")
             m["w"], m["h"] = self.w, self.h
             out_meta.append(json.dumps(m))
+            keep.append(i)
+        idx = pa.array(np.asarray(keep, dtype=np.int64))
         return pa.Table.from_arrays(
             [
-                batch["item_id"],
+                batch["item_id"].take(idx),
                 pa.array(out_payload, type=pa.large_binary()),
-                batch["media_type"],
-                pa.array(out_meta),
+                batch["media_type"].take(idx),
+                pa.array(out_meta, type=pa.string()),
             ],
             names=["item_id", "payload", "media_type", "meta"],
         )

@@ -92,3 +92,44 @@ def test_dimension_bombs_rejected():
     struct.pack_into("<ii", b, 18, 1 << 20, 1 << 20)
     with pytest.raises(ValueError):
         C.decode_bmp(bytes(b))
+
+
+def test_on_error_skip_drops_bad_rows_keeps_good(ray_session):
+    import ray.data
+
+    from anserini_ray.stages.multimodal import (
+        ImageResize,
+        MediaFeatureExtract,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    good = encode_gif(pal[rng.integers(0, 8, (20, 24))])
+    bad = bytearray(good)
+    bad[30:60] = bytes(30)  # corrupt the LZW stream, keep the magic
+    rows = [
+        {"item_id": 1, "payload": good, "media_type": "image/gif",
+         "meta": "{}"},
+        {"item_id": 2, "payload": bytes(bad), "media_type": "image/gif",
+         "meta": "{}"},
+        {"item_id": 3, "payload": good, "media_type": "image/gif",
+         "meta": "{}"},
+    ]
+    ds = ray.data.from_items(rows)
+    feats = ds.map_batches(
+        MediaFeatureExtract(decoder="numpy", on_error="skip"),
+        batch_format="pyarrow", batch_size=8,
+    ).take_all()
+    assert sorted(r["item_id"] for r in feats) == [1, 3]
+    resized = ds.map_batches(
+        ImageResize(target_w=10, target_h=8, decoder="numpy",
+                    on_error="skip"),
+        batch_format="pyarrow", batch_size=8,
+    ).take_all()
+    assert sorted(r["item_id"] for r in resized) == [1, 3]
+    # default on_error="raise" preserves the old contract
+    with pytest.raises(Exception):
+        ds.map_batches(
+            MediaFeatureExtract(decoder="numpy"),
+            batch_format="pyarrow", batch_size=8,
+        ).take_all()
