@@ -492,19 +492,20 @@ DUPLICATE_SPANS_SQL = _duplicate_spans_sql(8)
 def media_probe(sf_dir: str, k: int = 60):
     """Media codec + header-probe round trip under the EXACT oracle gate:
     the first k doc_ids get a deterministic payload whose shape is pure
-    doc_id arithmetic — doc_id%3==0 -> GIF (w=16+id%13, h=8+id%7),
+    doc_id arithmetic — doc_id%4==0 -> GIF (w=16+id%13, h=8+id%7),
     ==1 -> baseline JPEG (same dims), ==2 -> PCM WAV (8 kHz,
-    1000+(id%5)*500 samples) — ENCODED with the stdlib codecs
-    (stages/gif.py, jpeg.py, codecs.py) and probed back header-only by
-    the MediaMetadata actor-pool stage (stages/media_meta.py). Every
-    output field is therefore SQL-predictable, so the driver's value
-    hash checks the full encode->probe path."""
+    1000+(id%5)*500 samples), ==3 -> MP4 (library muxer, same dims,
+    3+id%4 samples at 40 ms) — ENCODED with the stdlib codecs
+    (stages/gif.py, jpeg.py, codecs.py, media_meta.mux_mp4) and probed
+    back header-only by the MediaMetadata actor-pool stage. Every output
+    field is therefore SQL-predictable, so the driver's value hash
+    checks the full encode->probe path."""
     import ray.data
 
     from anserini_ray.stages import codecs as C
     from anserini_ray.stages import jpeg as J
     from anserini_ray.stages.gif import encode_gif
-    from anserini_ray.stages.media_meta import MediaMetadata
+    from anserini_ray.stages.media_meta import MediaMetadata, mux_mp4
 
     docs = _docs(sf_dir, ["doc_id"]).sort("doc_id").limit(k)
 
@@ -513,19 +514,26 @@ def media_probe(sf_dir: str, k: int = 60):
         payloads = []
         for d in ids:
             d = int(d)
-            if d % 3 == 2:
+            if d % 4 == 2:
                 nsamp = 1000 + (d % 5) * 500
                 payloads.append(
                     C.encode_wav(np.zeros(nsamp, dtype=np.int16), 8000)
                 )
                 continue
             w, h = 16 + d % 13, 8 + d % 7
+            if d % 4 == 3:
+                nsamp = 3 + d % 5
+                payloads.append(mux_mp4(
+                    [bytes([d % 251]) * (5 + j) for j in range(nsamp)],
+                    width=w, height=h, sample_delta=40,
+                ))
+                continue
             img = (
                 (np.arange(h)[:, None] * w + np.arange(w)[None, :])
                 * (d + 1) % 256
             ).astype(np.uint8)
             payloads.append(
-                encode_gif(img) if d % 3 == 0 else J.encode_jpeg(img)
+                encode_gif(img) if d % 4 == 0 else J.encode_jpeg(img)
             )
         return pa.Table.from_arrays(
             [batch["doc_id"], pa.array(payloads, type=pa.large_binary())],
@@ -553,20 +561,24 @@ def media_probe(sf_dir: str, k: int = 60):
 MEDIA_PROBE_SQL = """
     WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60)
     SELECT doc_id,
-      CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
-      CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'jpeg'
-                      ELSE 'pcm' END AS codec,
-      CAST(CASE WHEN doc_id % 3 IN (0, 1)
+      CASE doc_id % 4 WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+                      ELSE 'image' END AS kind,
+      CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'jpeg'
+                      WHEN 2 THEN 'pcm' ELSE 'avc1' END AS codec,
+      CAST(CASE WHEN doc_id % 4 IN (0, 1, 3)
                 THEN 16 + doc_id % 13 END AS INTEGER) AS width,
-      CAST(CASE WHEN doc_id % 3 IN (0, 1)
+      CAST(CASE WHEN doc_id % 4 IN (0, 1, 3)
                 THEN 8 + doc_id % 7 END AS INTEGER) AS height,
-      CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 END AS INTEGER)
+      CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 END AS INTEGER)
         AS sample_rate,
-      CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                WHEN doc_id % 3 = 2 THEN 1000 + (doc_id % 5) * 500
+      CAST(CASE WHEN doc_id % 4 = 0 THEN 1
+                WHEN doc_id % 4 = 2 THEN 1000 + (doc_id % 5) * 500
+                WHEN doc_id % 4 = 3 THEN 3 + doc_id % 5
            END AS BIGINT) AS n_units,
-      CAST(CASE WHEN doc_id % 3 = 2
+      CAST(CASE WHEN doc_id % 4 = 2
                 THEN (1000 + (doc_id % 5) * 500) / 8000.0
+                WHEN doc_id % 4 = 3
+                THEN ((3 + doc_id % 5) * 40) / 1000.0
            END AS DOUBLE) AS duration_s
     FROM d
 """

@@ -261,6 +261,80 @@ def mp4_extract_sample(buf: bytes, offsets, sizes, i: int) -> bytes:
     return buf[int(offsets[i]) : int(offsets[i]) + int(sizes[i])]
 
 
+# ------------------------------------------------------------ MP4 muxer
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _mp4_full(typ: bytes, payload: bytes, version: int = 0) -> bytes:
+    return _mp4_box(typ, bytes([version, 0, 0, 0]) + payload)
+
+
+def mux_mp4(samples, *, width: int = 320, height: int = 180,
+            codec: bytes = b"avc1", timescale: int = 1000,
+            sample_delta: int = 40, samples_per_chunk: int = 4,
+            co64: bool = False) -> bytes:
+    """Minimal single-track ISO-BMFF muxer: wrap already-encoded sample
+    payloads (e.g. video access units) into a valid MP4 that parse_mp4 /
+    mp4_sample_table read back byte-exactly. The encode-side complement
+    of the demuxer — enough for synthetic corpora and round-trip tests;
+    no B-frame reordering, edit lists or fragmented (moof) output."""
+    samples = [bytes(s) for s in samples]
+    n = len(samples)
+    if n == 0:
+        raise ValueError("mux_mp4 needs at least one sample")
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _mp4_box(b"mdat", b"".join(samples))
+    base = len(ftyp) + 8
+
+    chunks = [samples[i : i + samples_per_chunk]
+              for i in range(0, n, samples_per_chunk)]
+    offs = []
+    pos = base
+    for ch in chunks:
+        offs.append(pos)
+        pos += sum(len(s) for s in ch)
+
+    dur = n * sample_delta
+    mvhd = _mp4_full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, dur)
+                     + b"\x00" * 80)
+    tkhd = _mp4_full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                     + b"\x00" * 52
+                     + struct.pack(">II", width << 16, height << 16))
+    mdhd = _mp4_full(b"mdhd", struct.pack(">IIII", 0, 0, timescale, dur)
+                     + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mp4_full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12
+                     + b"VideoHandler\x00")
+    entry = struct.pack(">I4s", 8 + 78, codec) + (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4 + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">H", 24)
+        + struct.pack(">h", -1)
+    )
+    stsd = _mp4_full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = _mp4_full(b"stts", struct.pack(">III", 1, n, sample_delta))
+    stsc = _mp4_full(b"stsc", struct.pack(">IIII", 1, 1,
+                                          samples_per_chunk, 1))
+    stsz = _mp4_full(b"stsz", struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", len(s)) for s in samples))
+    if co64:
+        stco = _mp4_full(b"co64", struct.pack(">I", len(offs)) + b"".join(
+            struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _mp4_full(b"stco", struct.pack(">I", len(offs)) + b"".join(
+            struct.pack(">I", o) for o in offs))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(
+        b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr + _mp4_box(
+            b"minf", stbl))))
+    return ftyp + mdat + moov
+
+
 # ----------------------------------------------------------------- MP3
 
 # header tables (ISO 11172-3 / 13818-3): bitrate kbps by [version][layer]

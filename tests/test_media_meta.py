@@ -129,6 +129,26 @@ def test_mp4_demux_chunk_layouts(co64, spc):
         assert M.mp4_extract_sample(buf, offsets, sizes, i) == s
 
 
+@pytest.mark.parametrize("co64", [False, True])
+@pytest.mark.parametrize("spc", [1, 3, 99])
+def test_library_muxer_round_trips(co64, spc):
+    # mux_mp4 (library writer) against the demuxer; the OTHER tests use
+    # this file's independent spec-built fixture, so the two writers
+    # cross-check each other
+    samples = _samples(11, seed=spc + co64)
+    buf = M.mux_mp4(samples, width=128, height=72,
+                    samples_per_chunk=spc, co64=co64)
+    info = M.parse_mp4(buf)
+    (tr,) = info["tracks"]
+    assert (tr["kind"], tr["codec"], tr["width"], tr["height"],
+            tr["n_samples"]) == ("video", "avc1", 128, 72, 11)
+    offsets, sizes = M.mp4_sample_table(buf, kind="video")
+    for i, s in enumerate(samples):
+        assert M.mp4_extract_sample(buf, offsets, sizes, i) == s
+    with pytest.raises(ValueError):
+        M.mux_mp4([])
+
+
 def test_mp4_rejects_missing_tables():
     with pytest.raises(ValueError):
         M.mp4_sample_table(_box(b"ftyp", b"isom") + _box(b"moov", b""))
