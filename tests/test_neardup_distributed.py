@@ -357,3 +357,57 @@ def test_duplicate_ngram_spans_empty_and_adjacent_merge(ray_session):
         n=3,
     ).take_all()
     assert empty == []
+
+
+def test_duplicate_ngram_spans_matches_bruteforce_random(ray_session):
+    """Randomized corpora with a tiny vocab (forces rich duplicate
+    structure) against an independent pure-Python oracle."""
+    import ray.data
+
+    from anserini_ray.stages.dedup import duplicate_ngram_spans
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(2, 5))
+        vocab = [f"v{j}" for j in range(int(rng.integers(3, 8)))]
+        rows = []
+        for d in range(12):
+            ln = int(rng.integers(0, 14))
+            rows.append({
+                "doc_id": d,
+                "text": " ".join(rng.choice(vocab, size=ln)),
+            })
+        # brute force: covered positions then merged islands
+        from collections import Counter
+
+        grams = Counter()
+        doc_grams = {}
+        for r in rows:
+            toks = r["text"].lower().split()
+            gs = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            doc_grams[r["doc_id"]] = gs
+            grams.update(gs)
+        want = set()
+        for d, gs in doc_grams.items():
+            cov = [i for i, g in enumerate(gs) if grams[g] >= 2]
+            if not cov:
+                continue
+            start = prev = cov[0]
+            cnt = 1
+            for p in cov[1:]:
+                if p - prev <= n:
+                    prev = p
+                    cnt += 1
+                else:
+                    want.add((d, start, prev + n, cnt))
+                    start = prev = p
+                    cnt = 1
+            want.add((d, start, prev + n, cnt))
+        got = duplicate_ngram_spans(
+            ray.data.from_items(rows), n=n
+        ).take_all()
+        got_set = {
+            (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+            for r in got
+        }
+        assert got_set == want, (trial, n, got_set ^ want)
