@@ -178,14 +178,28 @@ def decode_gif(buf: bytes) -> np.ndarray:
     payloads are routine at corpus scale; the decoding actor must see a
     catchable, expected exception type)."""
     try:
-        return _decode_gif(buf)
+        return _decode_gif(buf, max_frames=1)[0][0]
     except (ValueError, NotImplementedError):
         raise
     except (struct.error, IndexError, KeyError, OverflowError) as e:
         raise ValueError(f"corrupt GIF stream ({type(e).__name__})") from e
 
 
-def _decode_gif(buf: bytes) -> np.ndarray:
+def decode_gif_frames(buf: bytes, max_frames: int = 64):
+    """Decode an animated GIF: (frames, delays_cs) where frames is a list
+    of fully-composited (H, W, 3) uint8 RGB screens (transparent pixels
+    show the previous composited content, disposal methods 'none/keep'
+    and 'restore background' and 'restore previous' per GIF89a) and
+    delays_cs the per-frame delays in centiseconds."""
+    try:
+        return _decode_gif(buf, max_frames=max_frames)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"corrupt GIF stream ({type(e).__name__})") from e
+
+
+def _decode_gif(buf: bytes, max_frames: int):
     if buf[:6] not in (b"GIF87a", b"GIF89a") or len(buf) < 13:
         raise ValueError("not a GIF")
     sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
@@ -198,11 +212,19 @@ def _decode_gif(buf: bytes) -> np.ndarray:
         gct = np.frombuffer(buf, np.uint8, 3 * gsize, i).reshape(-1, 3)
         i += 3 * gsize
     transparent = None
+    delay = 0
+    disposal = 0
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(
+        3, dtype=np.uint8)
     screen = np.zeros((sh, sw, 3), dtype=np.uint8)
-    if gct is not None and bg < len(gct):
-        screen[:] = gct[bg]
+    screen[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    prev_disposal = 0
+    prev_rect = None
+    saved = None
     n = len(buf)
-    while i < n:
+    while i < n and len(frames) < max_frames:
         b = buf[i]
         i += 1
         if b == 0x3B:  # trailer
@@ -212,11 +234,21 @@ def _decode_gif(buf: bytes) -> np.ndarray:
             i += 1
             data, i = _sub_blocks(buf, i)
             if label == 0xF9 and len(data) >= 4:
-                flags, _delay = struct.unpack_from("<BH", data, 0)
+                flags, delay = struct.unpack_from("<BH", data, 0)
                 transparent = data[3] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        # dispose of the PREVIOUS frame's region before drawing this one
+        # (copy first: appended frames must not be mutated)
+        if prev_rect is not None:
+            pt, pl, ph_, pw_ = prev_rect
+            if prev_disposal == 2:  # restore background
+                screen = screen.copy()
+                screen[pt : pt + ph_, pl : pl + pw_] = bg_rgb
+            elif prev_disposal == 3 and saved is not None:  # restore prev
+                screen = saved
         # image descriptor
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, i)
         i += 9
@@ -240,14 +272,25 @@ def _decode_gif(buf: bytes) -> np.ndarray:
             idx = _deinterlace(idx)
         if idx.max(initial=0) >= len(ct):
             raise ValueError("GIF pixel index out of palette range")
+        if disposal == 3:
+            saved = screen.copy()
         rgb = ct[idx]
         if transparent is not None:
             mask = idx == transparent
             rgb = np.where(mask[:, :, None],
                            screen[top : top + h, left : left + w], rgb)
+        screen = screen.copy()  # frames must not alias each other
         screen[top : top + h, left : left + w] = rgb
-        return screen  # first frame only
-    raise ValueError("no image data in GIF")
+        frames.append(screen)
+        delays.append(delay)
+        prev_rect = (top, left, h, w)
+        prev_disposal = disposal
+        transparent = None
+        disposal = 0
+        delay = 0
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames, delays
 
 
 def gif_info(buf: bytes) -> dict:
@@ -286,6 +329,65 @@ def gif_info(buf: bytes) -> dict:
 
 
 # ------------------------------------------------------------- encoder
+
+
+def encode_gif_frames(frames, delays_cs=None, *, loop: bool = True) -> bytes:
+    """Animated GIF89a encode: full-frame images (disposal 'none'), one
+    shared global palette built from ALL frames (<= 256 distinct colors
+    total, no quantizer), per-frame delay in centiseconds, optional
+    Netscape loop extension."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("encode_gif_frames needs at least one frame")
+    if any(f.dtype != np.uint8 for f in frames):
+        raise ValueError("encode_gif_frames expects uint8 frames")
+    norm = [np.stack([f] * 3, axis=2) if f.ndim == 2 else f
+            for f in frames]
+    h, w = norm[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in norm):
+        raise ValueError("all frames must share (H, W, 3) uint8 shape")
+    delays = list(delays_cs) if delays_cs is not None else [10] * len(norm)
+    if len(delays) != len(norm):
+        raise ValueError("delays_cs must match the frame count")
+    packed = [
+        (f[:, :, 0].astype(np.uint32) << 16)
+        | (f[:, :, 1].astype(np.uint32) << 8) | f[:, :, 2]
+        for f in norm
+    ]
+    palette = np.unique(np.concatenate([p.ravel() for p in packed]))
+    if palette.size > 256:
+        raise ValueError(
+            f"encode_gif_frames needs <=256 distinct colors across all "
+            f"frames, got {palette.size}"
+        )
+    depth = max(1, int(palette.size - 1).bit_length())
+    tbl_size = 1 << depth
+    colors = np.zeros((tbl_size, 3), dtype=np.uint8)
+    colors[: palette.size, 0] = (palette >> 16) & 0xFF
+    colors[: palette.size, 1] = (palette >> 8) & 0xFF
+    colors[: palette.size, 2] = palette & 0xFF
+    min_code = max(2, depth)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += colors.tobytes()
+    if loop and len(norm) > 1:  # Netscape 2.0 infinite-loop extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f_packed, delay in zip(packed, delays):
+        idx = np.searchsorted(palette, f_packed.ravel()).astype(
+            np.uint8).reshape(h, w)
+        # GCE: disposal none, no transparency, delay in centiseconds
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, int(delay), 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(idx.tobytes(), min_code)
+        for lo in range(0, len(lzw), 255):
+            chunk = lzw[lo : lo + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(img: np.ndarray, *, interlace: bool = False) -> bytes:

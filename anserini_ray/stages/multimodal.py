@@ -333,11 +333,14 @@ class VideoFrameSample:
     per sampled frame (item_id, frame_idx, payload, meta). Sampling takes
     every `stride`-th frame up to `max_frames`.
 
-    decoder="demux" — REAL container demux for ISO-BMFF (MP4/MOV)
-    payloads via stages/media_meta.mp4_sample_table: the emitted payload
+    decoder="demux" — REAL container demux: for ISO-BMFF (MP4/MOV)
+    payloads via stages/media_meta.mp4_sample_table the emitted payload
     is the frame's actual encoded sample bytes straight out of mdat
-    (media_type "video/sample"), frame count from the sample tables.
-    Decoding those samples (H.264 etc.) stays library-bound (declared).
+    (media_type "video/sample"; decoding those H.264/... samples stays
+    library-bound, declared); for animated GIF payloads the frames are
+    fully DECODED and composited (stages/gif.decode_gif_frames) and
+    emitted as lossless PNG (media_type "image/png"). Frame counts come
+    from the containers themselves.
     decoder="fake" — deterministic stand-in (digest of payload+idx), frame
     count from the meta JSON ("frames")."""
 
@@ -357,35 +360,53 @@ class VideoFrameSample:
         return hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, payloads, metas = [], [], [], []
-        out_mt = "image/raw" if self.decoder == "fake" else "video/sample"
+        ids, fidx, payloads, mts, metas = [], [], [], [], []
         for iid, p, mt, meta in zip(
             batch["item_id"].to_pylist(),
             batch["payload"].to_pylist(),
             batch["media_type"].to_pylist(),
             batch["meta"].to_pylist(),
         ):
-            if not mt.startswith("video/"):
+            is_gif = (
+                self.decoder == "demux" and p[:6] in (b"GIF87a", b"GIF89a")
+            )
+            if not mt.startswith("video/") and not is_gif:
                 continue
-            if self.decoder == "demux":
+            gif_frames = None
+            if is_gif:
+                from anserini_ray.stages.gif import decode_gif_frames
+
+                gif_frames, _ = decode_gif_frames(
+                    p, max_frames=self.stride * self.max_frames
+                )
+                n_frames = len(gif_frames)
+                out_mt = "image/png"
+            elif self.decoder == "demux":
                 from anserini_ray.stages.media_meta import mp4_sample_table
 
                 offsets, sizes = mp4_sample_table(p, kind="video")
                 n_frames = len(offsets)
+                out_mt = "video/sample"
             else:
                 n_frames = int(json.loads(meta or "{}").get("frames", 0))
+                out_mt = "image/raw"
             taken = 0
             for f in range(0, n_frames, self.stride):
                 if taken >= self.max_frames:
                     break
                 ids.append(iid)
                 fidx.append(f)
-                if self.decoder == "demux":
+                if gif_frames is not None:
+                    from anserini_ray.stages.codecs import encode_png
+
+                    payloads.append(encode_png(gif_frames[f]))
+                elif self.decoder == "demux":
                     payloads.append(
                         p[int(offsets[f]) : int(offsets[f]) + int(sizes[f])]
                     )
                 else:
                     payloads.append(self._frame(p, f))
+                mts.append(out_mt)
                 metas.append(meta)
                 taken += 1
         return pa.Table.from_arrays(
@@ -393,7 +414,7 @@ class VideoFrameSample:
                 pa.array(ids, type=pa.int64()),
                 pa.array(fidx, type=pa.int32()),
                 pa.array(payloads, type=pa.large_binary()),
-                pa.array([out_mt] * len(ids)),
+                pa.array(mts, type=pa.string()),
                 pa.array(metas),
             ],
             names=["item_id", "frame_idx", "payload", "media_type", "meta"],

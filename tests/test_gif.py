@@ -135,3 +135,85 @@ def test_multimodal_and_probe_wiring(ray_session):
     out = (decode_gif(out_payload) if out_payload[:3] == b"GIF"
            else C.decode_png(out_payload))
     assert out.shape[:2] == (12, 16)
+
+
+# ------------------------------------------------------------- animation
+
+def test_animated_round_trip_and_first_frame_compat():
+    from anserini_ray.stages.gif import decode_gif_frames, encode_gif_frames
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (20, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 20, (18, 25))] for _ in range(5)]
+    buf = encode_gif_frames(frames, delays_cs=[5, 10, 15, 20, 25])
+    got, delays = decode_gif_frames(buf)
+    assert delays == [5, 10, 15, 20, 25]
+    assert all(np.array_equal(g, f) for g, f in zip(got, frames))
+    # first-frame API and header walk agree
+    assert np.array_equal(decode_gif(buf), frames[0])
+    assert gif_info(buf)["frames"] == 5
+    # max_frames truncation
+    two, _ = decode_gif_frames(buf, max_frames=2)
+    assert len(two) == 2
+    with pytest.raises(ValueError):
+        encode_gif_frames([])
+    with pytest.raises(ValueError):
+        encode_gif_frames([frames[0], frames[1][:4]])  # shape mismatch
+
+
+def test_animated_disposal_restore_background():
+    from anserini_ray.stages.gif import decode_gif_frames, _lzw_encode
+
+    # 2 frames on a 2x2 screen with bg=green: frame 1 draws red in the
+    # top-left 1x1 with disposal=2 (restore background); frame 2 draws
+    # blue bottom-right. Frame 2's composite must show GREEN at (0,0).
+    gct = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])  # r, g, b, pad
+    lzw1 = _lzw_encode(bytes([0]), 2)           # 1x1 red
+    lzw2 = _lzw_encode(bytes([2]), 2)           # 1x1 blue
+    buf = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x81, 1, 0)  # gct 4 entries, bg=1
+        + gct
+        + struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 2 << 2, 0, 0, 0)  # disp 2
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+        + bytes([2, len(lzw1)]) + lzw1 + b"\x00"
+        + struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, 0, 0, 0)
+        + struct.pack("<BHHHHB", 0x2C, 1, 1, 1, 1, 0)
+        + bytes([2, len(lzw2)]) + lzw2 + b"\x00"
+        + b"\x3b"
+    )
+    frames, _ = decode_gif_frames(buf)
+    assert len(frames) == 2
+    red, green, blue = [255, 0, 0], [0, 255, 0], [0, 0, 255]
+    assert frames[0][0, 0].tolist() == red
+    # disposal 2 restored the red pixel to background green
+    assert frames[1][0, 0].tolist() == green
+    assert frames[1][1, 1].tolist() == blue
+    # the first appended frame must NOT have been mutated by disposal
+    assert frames[0][0, 0].tolist() == red
+
+
+def test_video_frame_sample_demux_animated_gif(ray_session):
+    import ray.data
+
+    from anserini_ray.stages import codecs as C
+    from anserini_ray.stages.gif import encode_gif_frames
+    from anserini_ray.stages.multimodal import VideoFrameSample
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (10, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 10, (12, 16))] for _ in range(6)]
+    ds = ray.data.from_items(
+        [{"item_id": 5, "payload": encode_gif_frames(frames),
+          "media_type": "image/gif", "meta": "{}"}]
+    )
+    out = ds.map_batches(
+        VideoFrameSample(stride=2, max_frames=3, decoder="demux"),
+        batch_format="pyarrow", batch_size=4,
+    ).take_all()
+    assert [(r["item_id"], r["frame_idx"]) for r in out] == \
+        [(5, 0), (5, 2), (5, 4)]
+    assert all(r["media_type"] == "image/png" for r in out)
+    for r in out:
+        assert np.array_equal(C.decode_png(r["payload"]),
+                              frames[r["frame_idx"]])
