@@ -492,7 +492,8 @@ DUPLICATE_SPANS_SQL = _duplicate_spans_sql(8)
 def media_probe(sf_dir: str, k: int = 60):
     """Media codec + header-probe round trip under the EXACT oracle gate:
     the first k doc_ids get a deterministic payload whose shape is pure
-    doc_id arithmetic — doc_id%4==0 -> GIF (w=16+id%13, h=8+id%7),
+    doc_id arithmetic — doc_id%4==0 -> ANIMATED GIF (w=16+id%13,
+    h=8+id%7, 1+id%3 frames),
     ==1 -> baseline JPEG (same dims), ==2 -> PCM WAV (8 kHz,
     1000+(id%5)*500 samples), ==3 -> MP4 (library muxer, same dims,
     3+id%4 samples at 40 ms) — ENCODED with the stdlib codecs
@@ -504,7 +505,7 @@ def media_probe(sf_dir: str, k: int = 60):
 
     from anserini_ray.stages import codecs as C
     from anserini_ray.stages import jpeg as J
-    from anserini_ray.stages.gif import encode_gif
+    from anserini_ray.stages.gif import encode_gif_frames
     from anserini_ray.stages.media_meta import MediaMetadata, mux_mp4
 
     docs = _docs(sf_dir, ["doc_id"]).sort("doc_id").limit(k)
@@ -532,9 +533,15 @@ def media_probe(sf_dir: str, k: int = 60):
                 (np.arange(h)[:, None] * w + np.arange(w)[None, :])
                 * (d + 1) % 256
             ).astype(np.uint8)
-            payloads.append(
-                encode_gif(img) if d % 4 == 0 else J.encode_jpeg(img)
-            )
+            if d % 4 == 0:
+                # animated: frame count is doc_id arithmetic too
+                nf = 1 + d % 3
+                payloads.append(encode_gif_frames(
+                    [((img.astype(np.int32) + 7 * j) % 256).astype(
+                        np.uint8) for j in range(nf)]
+                ))
+            else:
+                payloads.append(J.encode_jpeg(img))
         return pa.Table.from_arrays(
             [batch["doc_id"], pa.array(payloads, type=pa.large_binary())],
             names=["item_id", "payload"],
@@ -571,7 +578,7 @@ MEDIA_PROBE_SQL = """
                 THEN 8 + doc_id % 7 END AS INTEGER) AS height,
       CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 END AS INTEGER)
         AS sample_rate,
-      CAST(CASE WHEN doc_id % 4 = 0 THEN 1
+      CAST(CASE WHEN doc_id % 4 = 0 THEN 1 + doc_id % 3
                 WHEN doc_id % 4 = 2 THEN 1000 + (doc_id % 5) * 500
                 WHEN doc_id % 4 = 3 THEN 3 + doc_id % 5
            END AS BIGINT) AS n_units,
